@@ -1,0 +1,143 @@
+"""TPU-native image resize with exact torch interpolation semantics.
+
+The reference leans on ``torch.nn.functional.interpolate`` in three
+distinct flavours (SURVEY.md §7.3 risk #2):
+
+* bilinear ``align_corners=True``  — DPT fusion upsampling
+  (reference blocks.py:488-493) and head upsample (dpt.py:207)
+* bicubic ``align_corners=False``  — output resize to camera resolution
+  (reference SOccDPT.py:270-276) and eval resize (utils/__init__.py:206)
+* nearest                          — segmentation upsample
+  (reference SOccDPT.py:278-282)
+
+``jax.image.resize`` implements none of these exactly (it is
+half-pixel/anti-aliased). Instead we express separable interpolation as
+two dense matmuls, ``out = M_h @ x @ M_w^T``, with the (out, in) weight
+matrices built host-side per static shape. On TPU this runs on the MXU
+and fuses with neighbouring ops — faster than gather-based resize and
+bit-exact to the torch kernels (matrices encode the torch index math).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _source_coords(out_size: int, in_size: int, align_corners: bool) -> np.ndarray:
+    """Map output pixel index -> continuous source coordinate (torch rules)."""
+    i = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        if out_size == 1:
+            return np.zeros_like(i)
+        scale = (in_size - 1) / (out_size - 1)
+        return i * scale
+    scale = in_size / out_size
+    return (i + 0.5) * scale - 0.5
+
+
+def _cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic convolution weights for fractional offset t in [0,1).
+
+    Returns (N, 4) weights for taps at floor-1, floor, floor+1, floor+2 —
+    the torch ``upsample_bicubic2d`` kernel (A=-0.75).
+    """
+
+    def k(x):
+        x = np.abs(x)
+        out = np.zeros_like(x)
+        m1 = x <= 1
+        out[m1] = ((a + 2) * x[m1] - (a + 3)) * x[m1] * x[m1] + 1
+        m2 = (x > 1) & (x < 2)
+        out[m2] = ((a * x[m2] - 5 * a) * x[m2] + 8 * a) * x[m2] - 4 * a
+        return out
+
+    return np.stack([k(t + 1.0), k(t), k(1.0 - t), k(2.0 - t)], axis=1)
+
+
+@functools.lru_cache(maxsize=256)
+def _resize_matrix(
+    in_size: int, out_size: int, method: str, align_corners: bool
+) -> np.ndarray:
+    """(out_size, in_size) interpolation matrix, float32."""
+    M = np.zeros((out_size, in_size), dtype=np.float64)
+    if method == "nearest":
+        # torch legacy 'nearest': floor(i * in/out)
+        src = np.floor(np.arange(out_size) * (in_size / out_size)).astype(int)
+        src = np.clip(src, 0, in_size - 1)
+        M[np.arange(out_size), src] = 1.0
+    elif method == "bilinear":
+        src = _source_coords(out_size, in_size, align_corners)
+        src = np.clip(src, 0.0, in_size - 1)
+        i0 = np.floor(src).astype(int)
+        i0 = np.clip(i0, 0, in_size - 1)
+        i1 = np.clip(i0 + 1, 0, in_size - 1)
+        w1 = src - i0
+        w0 = 1.0 - w1
+        rows = np.arange(out_size)
+        np.add.at(M, (rows, i0), w0)
+        np.add.at(M, (rows, i1), w1)
+    elif method == "bicubic":
+        src = _source_coords(out_size, in_size, align_corners)
+        i0 = np.floor(src).astype(int)
+        t = src - i0
+        w = _cubic_weights(t)
+        rows = np.arange(out_size)
+        for tap in range(4):
+            idx = np.clip(i0 - 1 + tap, 0, in_size - 1)  # border replicate
+            np.add.at(M, (rows, idx), w[:, tap])
+    else:
+        raise ValueError(f"unknown resize method {method!r}")
+    return M.astype(np.float32)
+
+
+def resize_hw(
+    x: jnp.ndarray,
+    size: Tuple[int, int],
+    method: str = "bilinear",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Resize the (H, W) axes of an NHWC tensor ``(..., H, W, C)``."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    dtype = x.dtype
+    if h_out != h_in:
+        mh = jnp.asarray(_resize_matrix(h_in, h_out, method, align_corners), dtype)
+        x = jnp.einsum("Hh,...hwc->...Hwc", mh, x)
+    if w_out != w_in:
+        mw = jnp.asarray(_resize_matrix(w_in, w_out, method, align_corners), dtype)
+        x = jnp.einsum("Ww,...hwc->...hWc", mw, x)
+    return x
+
+
+def resize_nchw(
+    x: jnp.ndarray,
+    size: Tuple[int, int],
+    method: str = "bilinear",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Resize the trailing (H, W) axes of ``(..., H, W)`` — torch layout."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    dtype = x.dtype
+    if h_out != h_in:
+        mh = jnp.asarray(_resize_matrix(h_in, h_out, method, align_corners), dtype)
+        x = jnp.einsum("Hh,...hw->...Hw", mh, x)
+    if w_out != w_in:
+        mw = jnp.asarray(_resize_matrix(w_in, w_out, method, align_corners), dtype)
+        x = jnp.einsum("Ww,...hw->...hW", mw, x)
+    return x
+
+
+def upsample2x_hw(x: jnp.ndarray, method: str = "bilinear", align_corners: bool = True):
+    """2x spatial upsample of NHWC, the DPT fusion-block default
+    (reference blocks.py:481-493 with scale_factor=2)."""
+    return resize_hw(
+        x, (x.shape[-3] * 2, x.shape[-2] * 2), method, align_corners
+    )
