@@ -144,6 +144,8 @@ MODEL_TYPES: Dict[str, Tuple[str, int, int]] = {
     "dpt_levit_224": ("levit_384", 224, 224),
     "dpt_large_384": ("vitl16_384", 384, 384),
     "dpt_hybrid_384": ("vitb_rn50_384", 384, 384),
+    # Tiny model for fast unit tests on CPU (no reference equivalent).
+    "dpt_swin2_test_64": ("swin2test_64", 64, 64),
 }
 
 

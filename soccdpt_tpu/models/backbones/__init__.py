@@ -1,0 +1,49 @@
+"""Backbone registry.
+
+Maps the reference's encoder names (reference blocks.py:31-136
+``_make_encoder``) to flax backbone factories. Every backbone is a
+module whose ``__call__(x_nhwc, deterministic)`` returns the tuple of
+stage feature maps (NHWC) — no forward hooks, no global state
+(replaces reference backbones/utils.py:54-133).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+from flax import linen as nn
+
+
+def make_backbone(
+    name: str,
+    hooks: Optional[Sequence[int]] = None,
+    dtype: Any = None,
+    use_pallas: bool = False,
+) -> Tuple[nn.Module, Tuple[int, ...]]:
+    """Return (backbone module, stage channel widths)."""
+    import jax.numpy as jnp
+
+    dtype = dtype if dtype is not None else jnp.float32
+
+    if name in ("swin2t16_256", "swin2b24_384", "swin2l24_384", "swin2test_64"):
+        from .swin2 import make_swin2_backbone
+
+        return make_swin2_backbone(
+            name, hooks=hooks, dtype=dtype, use_pallas=use_pallas
+        )
+    if name == "swinl12_384":
+        from .swin import make_swin1_backbone
+
+        return make_swin1_backbone(name, hooks=hooks, dtype=dtype)
+    if name in ("vitb16_384", "vitl16_384", "beitb16_384", "beitl16_384", "beitl16_512"):
+        from .vit import make_vit_backbone
+
+        return make_vit_backbone(name, hooks=hooks, dtype=dtype)
+    if name == "vitb_rn50_384":
+        from .vit_hybrid import make_vit_hybrid_backbone
+
+        return make_vit_hybrid_backbone(name, hooks=hooks, dtype=dtype)
+    if name == "levit_384":
+        from .levit import make_levit_backbone
+
+        return make_levit_backbone(name, hooks=hooks, dtype=dtype)
+    raise ValueError(f"backbone {name!r} not implemented")

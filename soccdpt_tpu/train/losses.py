@@ -1,0 +1,140 @@
+"""Training losses.
+
+Scale-and-shift-invariant depth loss (MiDaS), jnp port of the closed-form
+math at reference loss/ssi_loss.py:5-167: per-image 2x2 least-squares
+alignment of prediction to target, masked MSE data term, multi-scale
+gradient-matching regularizer (alpha=0.5, 4 scales). Segmentation loss is
+masked binary cross-entropy (reference train_SOccDPT.py:327-338).
+
+Everything is pure jnp, differentiable, and jit/pjit-safe: reductions use
+``jnp.where`` guards instead of data-dependent branches.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def compute_scale_and_shift(
+    prediction: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form least-squares (scale, shift) per image, masked.
+
+    prediction/target: (B, H, W); mask: (B, H, W) float or bool.
+    Mirrors reference ssi_loss.py:5-32 including the det==0 -> (0, 0)
+    behavior.
+    """
+    mask = mask.astype(prediction.dtype)
+    a_00 = jnp.sum(mask * prediction * prediction, axis=(1, 2))
+    a_01 = jnp.sum(mask * prediction, axis=(1, 2))
+    a_11 = jnp.sum(mask, axis=(1, 2))
+    b_0 = jnp.sum(mask * prediction * target, axis=(1, 2))
+    b_1 = jnp.sum(mask * target, axis=(1, 2))
+
+    det = a_00 * a_11 - a_01 * a_01
+    valid = det != 0
+    safe_det = jnp.where(valid, det, 1.0)
+    x_0 = jnp.where(valid, (a_11 * b_0 - a_01 * b_1) / safe_det, 0.0)
+    x_1 = jnp.where(valid, (-a_01 * b_0 + a_00 * b_1) / safe_det, 0.0)
+    return x_0, x_1
+
+
+def _reduction_batch_based(image_loss: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
+    divisor = jnp.sum(M)
+    return jnp.where(divisor == 0, 0.0, jnp.sum(image_loss) / jnp.maximum(divisor, 1.0))
+
+
+def mse_loss(prediction, target, mask):
+    mask = mask.astype(prediction.dtype)
+    M = jnp.sum(mask, axis=(1, 2))
+    res = prediction - target
+    image_loss = jnp.sum(mask * res * res, axis=(1, 2))
+    return _reduction_batch_based(image_loss, 2 * M)
+
+
+def gradient_loss(prediction, target, mask):
+    mask = mask.astype(prediction.dtype)
+    M = jnp.sum(mask, axis=(1, 2))
+    diff = mask * (prediction - target)
+
+    grad_x = jnp.abs(diff[:, :, 1:] - diff[:, :, :-1])
+    mask_x = mask[:, :, 1:] * mask[:, :, :-1]
+    grad_x = mask_x * grad_x
+
+    grad_y = jnp.abs(diff[:, 1:, :] - diff[:, :-1, :])
+    mask_y = mask[:, 1:, :] * mask[:, :-1, :]
+    grad_y = mask_y * grad_y
+
+    image_loss = jnp.sum(grad_x, axis=(1, 2)) + jnp.sum(grad_y, axis=(1, 2))
+    return _reduction_batch_based(image_loss, M)
+
+
+def scale_and_shift_invariant_loss(
+    prediction: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: jnp.ndarray,
+    alpha: float = 0.5,
+    scales: int = 4,
+    do_compute_scale_and_shift: bool = True,
+) -> jnp.ndarray:
+    """Reference ScaleAndShiftInvariantLoss (ssi_loss.py:126-162)."""
+    if do_compute_scale_and_shift:
+        scale, shift = compute_scale_and_shift(prediction, target, mask)
+    else:
+        scale = jnp.ones((target.shape[0],), target.dtype)
+        shift = jnp.zeros((target.shape[0],), target.dtype)
+    pred_ssi = scale[:, None, None] * prediction + shift[:, None, None]
+
+    total = mse_loss(pred_ssi, target, mask)
+    if alpha > 0:
+        for s in range(scales):
+            step = 2**s
+            total = total + alpha * gradient_loss(
+                pred_ssi[:, ::step, ::step],
+                target[:, ::step, ::step],
+                mask[:, ::step, ::step],
+            )
+    return total
+
+
+def masked_bce_loss(
+    prediction: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: jnp.ndarray,
+    eps: float = 1e-7,
+) -> jnp.ndarray:
+    """Mean BCE over masked elements, on probabilities (the seg head
+    already applies sigmoid — reference train_SOccDPT.py:334-338 with
+    torch.nn.BCELoss). Probabilities are clamped like torch BCELoss
+    clamps log terms."""
+    mask = mask.astype(prediction.dtype)
+    p = jnp.clip(prediction, eps, 1.0 - eps)
+    bce = -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(bce * mask) / denom
+
+
+def joint_loss(
+    disp_pred,
+    disp_target,
+    disp_mask,
+    seg_pred,
+    seg_target,
+    seg_mask,
+    loss_weights: Tuple[float, float] = (0.5, 0.5),
+    compute_scale_and_shift: bool = True,
+):
+    """Weighted depth+seg objective (reference train_SOccDPT.py:379-388)."""
+    w_depth, w_seg = loss_weights
+    l_disp = scale_and_shift_invariant_loss(
+        disp_pred,
+        disp_target,
+        disp_mask,
+        do_compute_scale_and_shift=compute_scale_and_shift,
+    )
+    l_seg = masked_bce_loss(seg_pred, seg_target, seg_mask)
+    return w_depth * l_disp + w_seg * l_seg, {
+        "loss_disp": l_disp,
+        "loss_seg": l_seg,
+    }

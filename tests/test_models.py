@@ -1,0 +1,116 @@
+"""Golden-shape and behavior tests for backbones, DPT trunk, SOccDPT.
+
+Uses the tiny ``dpt_swin2_test_64`` config so full-graph tests stay fast
+on a single CPU core; the real-size graph is exercised on TPU by
+bench.py and __graft_entry__.py.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soccdpt_tpu.core.config import CameraConfig, ModelConfig, OccupancyConfig
+from soccdpt_tpu.models.backbones import make_backbone
+from soccdpt_tpu.models.soccdpt import build_model
+
+TEST_CAMERA = CameraConfig(fx=100.0, fy=100.0, cx=32.0, cy=24.0, width=64, height=48)
+
+
+def tiny_cfg(version=3, **kw):
+    return ModelConfig(
+        model_type="dpt_swin2_test_64",
+        version=version,
+        features=64,
+        camera=TEST_CAMERA,
+        **kw,
+    )
+
+
+def test_swin2_backbone_stage_shapes():
+    bb, chans = make_backbone("swin2test_64")
+    assert chans == (16, 32, 64, 128)
+    x = jnp.zeros((2, 64, 64, 3))
+    vars_ = bb.init(jax.random.PRNGKey(0), x)
+    feats = bb.apply(vars_, x)
+    # Strides 4/8/16/32 of the input (reference swin_common.py:38-52).
+    assert [f.shape for f in feats] == [
+        (2, 16, 16, 16),
+        (2, 8, 8, 32),
+        (2, 4, 4, 64),
+        (2, 2, 2, 128),
+    ]
+
+
+@pytest.mark.parametrize("version", [1, 2, 3])
+def test_soccdpt_versions_raw_outputs(version):
+    cfg = tiny_cfg(version=version)
+    model = build_model(cfg)
+    x = jnp.zeros((2, 3, 64, 64))
+    vars_ = model.init(jax.random.PRNGKey(0), x, return_raw=True)
+    inv_depth, seg = model.apply(vars_, x, return_raw=True)
+    assert inv_depth.shape == (2, 64, 64)
+    assert seg.shape == (2, 3, 64, 64)
+    # non_negative head -> ReLU output; sigmoid seg in [0, 1]
+    assert float(jnp.min(inv_depth)) >= 0.0
+    assert float(jnp.min(seg)) >= 0.0 and float(jnp.max(seg)) <= 1.0
+
+
+def test_soccdpt_v3_full_geometry():
+    cfg = tiny_cfg(version=3)
+    model = build_model(cfg)
+    x = jnp.ones((1, 3, 64, 64)) * 0.25
+    vars_ = model.init(jax.random.PRNGKey(0), x, return_raw=True)
+    inv_d, seg, points, grid = model.apply(
+        vars_, x, compute_occ=True
+    )
+    H, W = TEST_CAMERA.height, TEST_CAMERA.width
+    assert inv_d.shape == (1, H, W)
+    assert seg.shape == (1, 3, H, W)
+    assert points.shape == (1, H, W, 3)
+    gx, gy, gz = cfg.occupancy.grid_size
+    assert grid.shape == (1, gx, gy, gz, 3)
+    assert bool(jnp.all(jnp.isfinite(points)))
+
+
+def test_soccdpt_v3_no_occ_returns_none():
+    cfg = tiny_cfg(version=3)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 3, 64, 64))
+    vars_ = model.init(jax.random.PRNGKey(0), x, return_raw=True)
+    out = model.apply(vars_, x, compute_occ=False)
+    assert out[3] is None
+
+
+def test_v1_has_two_backbones_v3_has_one():
+    x = jnp.zeros((1, 3, 64, 64))
+    p1 = build_model(tiny_cfg(version=1)).init(
+        jax.random.PRNGKey(0), x, return_raw=True
+    )["params"]
+    p3 = build_model(tiny_cfg(version=3)).init(
+        jax.random.PRNGKey(0), x, return_raw=True
+    )["params"]
+    assert "depth_net" in p1 and "seg_net" in p1
+    assert "depth_net" in p3 and "seg_head" in p3 and "seg_net" not in p3
+
+
+def test_train_mode_mutates_batch_stats():
+    cfg = tiny_cfg(version=3)
+    model = build_model(cfg)
+    x = jnp.ones((2, 3, 64, 64))
+    vars_ = model.init(jax.random.PRNGKey(0), x, return_raw=True)
+    assert "batch_stats" in vars_  # seg head BN
+    out, updates = model.apply(
+        vars_,
+        x,
+        deterministic=False,
+        return_raw=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    leaves_before = jax.tree_util.tree_leaves(vars_["batch_stats"])
+    leaves_after = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(
+        not np.allclose(a, b) for a, b in zip(leaves_before, leaves_after)
+    )
