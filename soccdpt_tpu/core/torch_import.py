@@ -1,0 +1,282 @@
+"""Torch checkpoint ingestion: reference ``.pth``/MiDaS ``.pt`` -> flax.
+
+The reference saves raw ``state_dict`` files (train_SOccDPT.py:437-449)
+and loads with ``strict=False`` + optimizer-dict unwrap
+(base_model.py:5-37). This module maps those key layouts onto this
+framework's param tree for the Swin2 family:
+
+torch (timm SwinTransformerV2 inside the reference's
+``pretrained.model``, backbones/swin2.py:24-30) -> flax
+``<dpt>/backbone``; MiDaS "scratch" convs/refinenets -> ``<dpt>/...``;
+heads (``scratch.output_conv`` / ``seg_head``) -> ``<dpt>/head`` /
+``seg_head``.
+
+Weight-layout conventions:
+  conv   torch (O, I, kh, kw)  -> flax (kh, kw, I, O)
+  dense  torch (out, in)       -> flax (in, out)
+  norm   weight/bias           -> scale/bias
+  bn     running_mean/var      -> batch_stats mean/var
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+PyTree = Any
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """torch.load with cpu map_location + optimizer unwrap
+    (reference base_model.py:14-21)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "optimizer" in ckpt and "model" in ckpt:
+        ckpt = ckpt["model"]
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return {k: v.detach().numpy() for k, v in ckpt.items()}
+
+
+def _conv(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense(w):
+    return np.transpose(w, (1, 0))
+
+
+def _id(w):
+    return np.asarray(w)
+
+
+def convert_swin2_dpt_keys(
+    sd: Dict[str, np.ndarray],
+    torch_prefix: str = "",
+) -> Tuple[Dict[Tuple[str, ...], np.ndarray], Dict[Tuple[str, ...], np.ndarray]]:
+    """Convert one torch DPT-with-Swin2 tree to (params, batch_stats)
+    keyed by flax path tuples relative to the DPT module root."""
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def put(path, val):
+        params[tuple(path)] = val
+
+    for key, val in sd.items():
+        if torch_prefix:
+            if not key.startswith(torch_prefix):
+                continue
+            key = key[len(torch_prefix):]
+
+        # ---- backbone: pretrained.model.* (timm SwinTransformerV2) ----
+        m = re.match(r"pretrained\.model\.(.*)$", key)
+        if m:
+            sub = m.group(1)
+            bb = ("backbone",)
+            if sub == "patch_embed.proj.weight":
+                put(bb + ("patch_embed", "kernel"), _conv(val))
+            elif sub == "patch_embed.proj.bias":
+                put(bb + ("patch_embed", "bias"), _id(val))
+            elif sub == "patch_embed.norm.weight":
+                put(bb + ("patch_norm", "scale"), _id(val))
+            elif sub == "patch_embed.norm.bias":
+                put(bb + ("patch_norm", "bias"), _id(val))
+            else:
+                b = re.match(r"layers\.(\d+)\.blocks\.(\d+)\.(.*)$", sub)
+                d = re.match(r"layers\.(\d+)\.downsample\.(.*)$", sub)
+                if b:
+                    i, j, rest = int(b.group(1)), int(b.group(2)), b.group(3)
+                    blk = bb + (f"stage{i}_block{j}",)
+                    table = {
+                        "attn.qkv.weight": (blk + ("attn", "qkv", "kernel"), _dense),
+                        "attn.q_bias": (blk + ("attn", "q_bias"), _id),
+                        "attn.v_bias": (blk + ("attn", "v_bias"), _id),
+                        "attn.logit_scale": (blk + ("attn", "logit_scale"), _id),
+                        "attn.proj.weight": (blk + ("attn", "proj", "kernel"), _dense),
+                        "attn.proj.bias": (blk + ("attn", "proj", "bias"), _id),
+                        "attn.cpb_mlp.0.weight": (
+                            blk + ("attn", "cpb_mlp_0", "kernel"), _dense),
+                        "attn.cpb_mlp.0.bias": (
+                            blk + ("attn", "cpb_mlp_0", "bias"), _id),
+                        "attn.cpb_mlp.2.weight": (
+                            blk + ("attn", "cpb_mlp_1", "kernel"), _dense),
+                        "norm1.weight": (blk + ("norm1", "scale"), _id),
+                        "norm1.bias": (blk + ("norm1", "bias"), _id),
+                        "norm2.weight": (blk + ("norm2", "scale"), _id),
+                        "norm2.bias": (blk + ("norm2", "bias"), _id),
+                        "mlp.fc1.weight": (blk + ("mlp_fc1", "kernel"), _dense),
+                        "mlp.fc1.bias": (blk + ("mlp_fc1", "bias"), _id),
+                        "mlp.fc2.weight": (blk + ("mlp_fc2", "kernel"), _dense),
+                        "mlp.fc2.bias": (blk + ("mlp_fc2", "bias"), _id),
+                    }
+                    if rest in table:
+                        path, fn = table[rest]
+                        put(path, fn(val))
+                    # relative_position_index / relative_coords_table are
+                    # static buffers — recomputed, not imported.
+                elif d:
+                    i, rest = int(d.group(1)), d.group(2)
+                    ds = bb + (f"downsample{i}",)
+                    if rest == "reduction.weight":
+                        put(ds + ("reduction", "kernel"), _dense(val))
+                    elif rest == "norm.weight":
+                        put(ds + ("norm", "scale"), _id(val))
+                    elif rest == "norm.bias":
+                        put(ds + ("norm", "bias"), _id(val))
+            continue
+
+        # ---- scratch reassemble + refinenets ----
+        m = re.match(r"scratch\.layer(\d)_rn\.weight$", key)
+        if m:
+            put((f"layer{m.group(1)}_rn", "kernel"), _conv(val))
+            continue
+        m = re.match(
+            r"scratch\.refinenet(\d)\.resConfUnit(\d)\.conv(\d)\.(weight|bias)$",
+            key,
+        )
+        if m:
+            rn, rcu, conv, wb = m.groups()
+            path = (
+                f"refinenet{rn}",
+                f"res_conv_unit{rcu}",
+                f"conv{conv}",
+                "kernel" if wb == "weight" else "bias",
+            )
+            put(path, _conv(val) if wb == "weight" else _id(val))
+            continue
+        m = re.match(r"scratch\.refinenet(\d)\.out_conv\.(weight|bias)$", key)
+        if m:
+            rn, wb = m.groups()
+            put(
+                (f"refinenet{rn}", "out_conv", "kernel" if wb == "weight" else "bias"),
+                _conv(val) if wb == "weight" else _id(val),
+            )
+            continue
+
+        # ---- depth head: scratch.output_conv.{0,2,4} (dpt.py:199-219) ----
+        m = re.match(r"scratch\.output_conv\.(\d)\.(weight|bias)$", key)
+        if m:
+            idx, wb = int(m.group(1)), m.group(2)
+            conv_name = {0: "conv1", 2: "conv2", 4: "conv3"}.get(idx)
+            if conv_name:
+                put(
+                    ("head", conv_name, "kernel" if wb == "weight" else "bias"),
+                    _conv(val) if wb == "weight" else _id(val),
+                )
+            continue
+
+    return params, stats
+
+
+def convert_seg_head_keys(
+    sd: Dict[str, np.ndarray], torch_prefix: str = "seg_head."
+) -> Tuple[Dict[Tuple[str, ...], np.ndarray], Dict[Tuple[str, ...], np.ndarray]]:
+    """V2/V3 seg-head nn.Sequential (reference SOccDPT.py:660-674):
+    0=conv3x3(no bias), 1=BN, 4=conv1x1."""
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    for key, val in sd.items():
+        if not key.startswith(torch_prefix):
+            continue
+        sub = key[len(torch_prefix):]
+        if sub == "0.weight":
+            params[("conv1", "kernel")] = _conv(val)
+        elif sub == "1.weight":
+            params[("bn", "scale")] = _id(val)
+        elif sub == "1.bias":
+            params[("bn", "bias")] = _id(val)
+        elif sub == "1.running_mean":
+            stats[("bn", "mean")] = _id(val)
+        elif sub == "1.running_var":
+            stats[("bn", "var")] = _id(val)
+        elif sub == "4.weight":
+            params[("conv2", "kernel")] = _conv(val)
+        elif sub == "4.bias":
+            params[("conv2", "bias")] = _id(val)
+    return params, stats
+
+
+def _nest(flat: Dict[Tuple[str, ...], np.ndarray]) -> Dict:
+    out: Dict = {}
+    for path, val in flat.items():
+        node = out
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = val
+    return out
+
+
+def import_soccdpt_v3(
+    sd: Dict[str, np.ndarray]
+) -> Tuple[Dict, Dict]:
+    """Full SOccDPT_V3 checkpoint -> (params, batch_stats) nested dicts
+    matching models.soccdpt.SOccDPT_V3's tree."""
+    dpt_p, dpt_s = convert_swin2_dpt_keys(sd, torch_prefix="depth_net.")
+    seg_p, seg_s = convert_seg_head_keys(sd, torch_prefix="seg_head.")
+    flat_p = {("depth_net",) + k: v for k, v in dpt_p.items()}
+    flat_p.update({("seg_head",) + k: v for k, v in seg_p.items()})
+    flat_s = {("depth_net",) + k: v for k, v in dpt_s.items()}
+    flat_s.update({("seg_head",) + k: v for k, v in seg_s.items()})
+    return _nest(flat_p), _nest(flat_s)
+
+
+def import_dpt_depth_model(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Standalone DPTDepthModel (MiDaS dpt_swin2_tiny_256.pt layout)."""
+    p, s = convert_swin2_dpt_keys(sd, torch_prefix="")
+    return _nest(p), _nest(s)
+
+
+def merge_into(params: PyTree, imported: Dict, verbose: bool = True) -> PyTree:
+    """Lenient merge of an imported nested dict into a flax param tree
+    (strict=False semantics, reference base_model.py:30-33)."""
+    import jax
+
+    flat_t = jax.tree_util.tree_leaves_with_path(params)
+    imported_flat: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            imported_flat[path] = node
+
+    walk(imported, ())
+
+    used = set()
+    merged = {}
+    mismatched = []
+    for path, tgt in flat_t:
+        key = tuple(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path
+        )
+        src = imported_flat.get(key)
+        if src is not None and np.shape(src) == np.shape(tgt):
+            merged[key] = np.asarray(src, dtype=np.asarray(tgt).dtype)
+            used.add(key)
+        else:
+            merged[key] = tgt
+            if src is not None:
+                mismatched.append((key, np.shape(src), np.shape(tgt)))
+    unused = set(imported_flat) - used
+    if verbose:
+        n_loaded = len(used)
+        print(
+            f"[torch_import] loaded {n_loaded}/{len(flat_t)} leaves; "
+            f"{len(unused)} unused imported keys; {len(mismatched)} shape mismatches"
+        )
+        for k, ss, ts in mismatched[:10]:
+            print("  mismatch", "/".join(k), ss, "->", ts)
+
+    import jax
+
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = []
+    for path, tgt in flat_t:
+        key = tuple(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path
+        )
+        leaves.append(merged[key])
+    return jax.tree_util.tree_unflatten(treedef, leaves)

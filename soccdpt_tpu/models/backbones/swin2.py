@@ -248,10 +248,18 @@ class WindowAttentionV2(nn.Module):
             1e-12,
         ).astype(self.dtype)
 
-        if self.use_pallas and mask is None:
+        if self.use_pallas:
             from ...ops.window_attention import cosine_window_attention
 
-            out = cosine_window_attention(qn, kn, v, scale, rel_bias)
+            out = cosine_window_attention(
+                qn,
+                kn,
+                v,
+                scale,
+                rel_bias,
+                mask=mask,
+                interpret=jax.default_backend() != "tpu",
+            )
         else:
             attn = jnp.einsum(
                 "bhnd,bhmd->bhnm", qn, kn, preferred_element_type=jnp.float32
@@ -426,12 +434,15 @@ def make_swin2_backbone(
     hooks: Optional[Sequence[int]] = None,
     dtype: Dtype = jnp.float32,
     use_pallas: bool = False,
-) -> Tuple[SwinV2Backbone, Tuple[int, ...]]:
+):
     """Factory mirroring reference ``_make_pretrained_swin2*`` +
-    ``_make_encoder`` channel tables (reference blocks.py:64-78)."""
+    ``_make_encoder`` channel tables (reference blocks.py:64-78).
+    Returns (module factory, stage channel widths)."""
+    import functools
+
     cfg = SWIN2_CONFIGS[backbone]
     hooks = tuple(hooks) if hooks is not None else SWIN2_HOOKS[backbone]
-    model = SwinV2Backbone(
-        cfg=cfg, hooks=hooks, dtype=dtype, use_pallas=use_pallas
+    factory = functools.partial(
+        SwinV2Backbone, cfg=cfg, hooks=hooks, dtype=dtype, use_pallas=use_pallas
     )
-    return model, cfg.stage_dims
+    return factory, cfg.stage_dims

@@ -93,26 +93,31 @@ class FeatureFusionBlock(nn.Module):
 class DPT(nn.Module):
     """Backbone + scratch reassemble + fusion decoder + pluggable head.
 
-    ``backbone`` must return 3 or 4 NHWC stage features; ``in_channels``
+    ``backbone`` and ``head`` are module *factories* (e.g. a
+    ``functools.partial`` over the module class): they are constructed
+    inside this module's scope so their params live under
+    ``<dpt>/backbone`` and ``<dpt>/head`` — the layout the encoder
+    freeze/unfreeze helpers and the torch-weight importer rely on.
+    The backbone must return 3 or 4 NHWC stage features; ``in_channels``
     are their widths (reference _make_encoder tables, blocks.py:43-131).
-    ``head`` is a flax module applied to the fused feature map; if
-    ``return_features`` the pre-head feature map is returned alongside
+    If ``return_features`` the pre-head feature map is returned alongside
     the head output (used by SOccDPT V3, reference dpt.py:179-181).
     """
 
-    backbone: nn.Module
+    backbone: Callable[..., nn.Module]
     in_channels: Sequence[int]
-    head: nn.Module
+    head: Callable[..., nn.Module]
     features: int = 256
     use_bn: bool = False
     return_features: bool = False
     size_refinenet3: Optional[Tuple[int, int]] = None
-    stem_transpose: Optional[nn.Module] = None
+    stem_transpose: Optional[Callable[..., nn.Module]] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
-        layers = self.backbone(x, deterministic=deterministic)
+        backbone = self.backbone(name="backbone")
+        layers = backbone(x, deterministic=deterministic)
         n = len(layers)
         assert n == len(self.in_channels), (n, self.in_channels)
 
@@ -154,9 +159,9 @@ class DPT(nn.Module):
         path = fusion("refinenet1")(path, rn[0], deterministic=deterministic)
 
         if self.stem_transpose is not None:
-            path = self.stem_transpose(path)
+            path = self.stem_transpose(name="stem_transpose")(path)
 
-        out = self.head(path, deterministic=deterministic)
+        out = self.head(name="head")(path, deterministic=deterministic)
         if self.return_features:
             return out, path
         return out

@@ -17,6 +17,7 @@ resolution by resizing predictions exactly as the reference does).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
@@ -96,7 +97,8 @@ class SOccDPT_V1(nn.Module, _GeometryMixin):
         depth_net = DPT(
             backbone=bb_d,
             in_channels=chans,
-            head=DepthHead(
+            head=partial(
+                DepthHead,
                 head_features_1=cfg.head_features_1 or cfg.features,
                 head_features_2=cfg.head_features_2,
                 non_negative=cfg.non_negative,
@@ -113,7 +115,8 @@ class SOccDPT_V1(nn.Module, _GeometryMixin):
         seg_net = DPT(
             backbone=bb_s,
             in_channels=chans_s,
-            head=SegHead(
+            head=partial(
+                SegHead,
                 num_classes=cfg.num_classes,
                 features=cfg.features,
                 sigmoid=True,  # V1 seg model is always sigmoid (dpt.py:251)
@@ -166,7 +169,7 @@ class SOccDPT_V2(nn.Module, _GeometryMixin):
         trunk = DPT(
             backbone=bb,
             in_channels=chans,
-            head=IdentityHead(),
+            head=IdentityHead,
             features=cfg.features,
             dtype=self.dtype,
             name="pretrained",
@@ -218,7 +221,8 @@ class SOccDPT_V3(nn.Module, _GeometryMixin):
         depth_net = DPT(
             backbone=bb,
             in_channels=chans,
-            head=DepthHead(
+            head=partial(
+                DepthHead,
                 head_features_1=cfg.head_features_1 or cfg.features,
                 head_features_2=cfg.head_features_2,
                 non_negative=cfg.non_negative,

@@ -1,0 +1,156 @@
+"""Pallas TPU kernel: fused scaled-cosine window attention (Swin V2).
+
+One program per (window, head): QK^T, per-head learned temperature,
+continuous relative-position bias, optional shifted-window mask, softmax
+and PV all stay resident in VMEM — the (N, N) attention matrix never
+round-trips HBM. This is the marquee kernel of the rebuild
+(BASELINE.json north star; SURVEY.md §7.3 risk #1). The XLA einsum path
+in models/backbones/swin2.py is the correctness fallback; the parity
+test (tests/test_window_attention.py) pins the two together.
+
+Forward-only: training uses the XLA path (which autodiff handles);
+inference/serving flips ``use_pallas=True``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(scale_ref, q_ref, k_ref, v_ref, bias_ref, out_ref):
+    """q/k/v: (1, 1, N, d) blocks; bias: (1, N, N); scale in SMEM."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    s = scale_ref[0, 0]
+
+    attn = jax.lax.dot_general(
+        q,
+        k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, N)
+    attn = attn * s + bias_ref[0].astype(jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jax.lax.dot_general(
+        attn.astype(v.dtype),
+        v,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _attn_kernel_masked(
+    scale_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref
+):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    s = scale_ref[0, 0]
+
+    attn = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    attn = attn * s + bias_ref[0].astype(jnp.float32)
+    attn = attn + mask_ref[0].astype(jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jax.lax.dot_general(
+        attn.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def cosine_window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused window attention.
+
+    q, k:  (Bw, H, N, d) — already L2-normalized along d
+    v:     (Bw, H, N, d)
+    scale: (H, 1, 1) positive per-head temperature (already exp/clamped)
+    bias:  (H, N, N) relative-position bias (already 16*sigmoid)
+    mask:  (nW, N, N) additive shifted-window mask or None; when given,
+           window ``i`` of the flat Bw axis uses ``mask[i % nW]``.
+    Returns (Bw, H, N, d).
+    """
+    Bw, H, N, d = q.shape
+    scale_2d = scale.reshape(H, 1).astype(jnp.float32)
+    bias = bias.astype(jnp.float32)
+
+    qkv_spec = pl.BlockSpec(
+        (1, 1, N, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias_spec = pl.BlockSpec(
+        (1, N, N), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    scale_spec = pl.BlockSpec(
+        (1, 1), lambda i, j: (j, 0), memory_space=pltpu.SMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, N, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    flops = 2 * Bw * H * (N * N * d * 2)
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=q.size * 4 * 3 + Bw * H * N * d * 4,
+        transcendentals=Bw * H * N * N,
+    )
+
+    if mask is None:
+        return pl.pallas_call(
+            _attn_kernel,
+            grid=(Bw, H),
+            in_specs=[scale_spec, qkv_spec, qkv_spec, qkv_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Bw, H, N, d), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(scale_2d, q, k, v, bias)
+
+    nW = mask.shape[0]
+    mask_spec = pl.BlockSpec(
+        (1, N, N), lambda i, j: (i % nW, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _attn_kernel_masked,
+        grid=(Bw, H),
+        in_specs=[scale_spec, qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Bw, H, N, d), q.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(scale_2d, q, k, v, bias, mask.astype(jnp.float32))
+
+
+def xla_reference(q, k, v, scale, bias, mask=None):
+    """Plain-XLA reference implementation (same math), for parity tests."""
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    )
+    attn = attn * scale.astype(jnp.float32) + bias.astype(jnp.float32)[None]
+    if mask is not None:
+        Bw = q.shape[0]
+        nW = mask.shape[0]
+        H, N = q.shape[1], q.shape[2]
+        attn = attn.reshape(Bw // nW, nW, H, N, N)
+        attn = attn + mask.astype(jnp.float32)[None, :, None]
+        attn = attn.reshape(Bw, H, N, N)
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum(
+        "bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)

@@ -1,0 +1,225 @@
+"""pjit training loop for SOccDPT.
+
+Rebuild of the reference's train loop (reference train_SOccDPT.py:109-449)
+as a jitted, mesh-sharded train step:
+
+* batch sharded over the ``data`` mesh axis, params replicated; XLA
+  inserts the gradient all-reduce over ICI (SURVEY.md §2.5),
+* patch-wise parameter-subset training via stop_gradient masks
+  (train/patchwise.py) instead of requires_grad mutation,
+* loss evaluated at GT resolution after the exact reference upsampling
+  (bicubic align_corners=False for disparity, nearest for seg —
+  reference SOccDPT.py:270-282),
+* Adam(+weight decay) with a host-side reduce-on-plateau LR controller
+  (reference train_SOccDPT.py:311-322), bf16 compute when ``amp``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import ModelConfig, TrainConfig
+from ..models.soccdpt import build_model
+from ..ops.resize import resize_nchw
+from ..parallel import mesh as mesh_lib
+from .losses import joint_loss
+from .patchwise import (
+    encoder_mask,
+    patch_masks,
+    select_trainable,
+    zero_frozen_grads,
+)
+
+PyTree = Any
+
+
+@chex.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: PyTree
+    batch_stats: PyTree
+    opt_state: PyTree
+
+
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (mode=min, patience=2, factor=0.1),
+    the reference's scheduler (train_SOccDPT.py:320-322)."""
+
+    def __init__(self, base_lr: float, patience: int = 2, factor: float = 0.1):
+        self.lr = base_lr
+        self.patience = patience
+        self.factor = factor
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr *= self.factor
+                self.bad_epochs = 0
+        return self.lr
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam with the reference's hyperparameters
+    (train_SOccDPT.py:311-318); lr injected so the plateau controller can
+    update it without rebuilding opt state."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=tcfg.learning_rate,
+        b1=0.9,
+        b2=0.999,
+        eps=1e-8,
+        weight_decay=tcfg.weight_decay,
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+class Trainer:
+    def __init__(
+        self,
+        mcfg: ModelConfig,
+        tcfg: TrainConfig,
+        mesh: Optional[Mesh] = None,
+        use_pallas: bool = False,
+    ) -> None:
+        if tcfg.amp and mcfg.compute_dtype != "bfloat16":
+            mcfg = dataclasses.replace(mcfg, compute_dtype="bfloat16")
+        self.mcfg = mcfg
+        self.tcfg = tcfg
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.model = build_model(mcfg, use_pallas=use_pallas)
+        self.tx = make_optimizer(tcfg)
+        self.scheduler = PlateauScheduler(tcfg.learning_rate)
+        self._step_cache: Dict[int, Callable] = {}
+        self.trainable_mask: Optional[PyTree] = None
+        self.masks: List[PyTree] = []
+
+    # -- initialization ------------------------------------------------
+
+    def init_state(self, rng: jax.Array, sample_image: np.ndarray) -> TrainState:
+        variables = self.model.init(
+            rng, jnp.asarray(sample_image), deterministic=True, return_raw=True
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        # Encoder freeze + patchwise partition (reference
+        # train_SOccDPT.py:262-263, 362-364).
+        self.trainable_mask = encoder_mask(params, self.tcfg.encoder_percentage)
+        self.masks = patch_masks(
+            self.trainable_mask, self.tcfg.patchwise_percentage
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        return jax.device_put(
+            state, NamedSharding(self.mesh, P())
+        )
+
+    # -- train step ----------------------------------------------------
+
+    def _build_step(self, patch_index: int) -> Callable:
+        mask = self.masks[patch_index]
+        model = self.model
+        tx = self.tx
+        tcfg = self.tcfg
+
+        def loss_fn(params, batch_stats, batch, rng):
+            p = select_trainable(params, mask)
+            (inv_depth, seg), updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["image"],
+                deterministic=False,
+                return_raw=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            gt_hw = batch["disparity"].shape[-2:]
+            disp_pred = resize_nchw(
+                inv_depth.astype(jnp.float32), gt_hw, "bicubic", False
+            )
+            seg_pred = resize_nchw(seg.astype(jnp.float32), gt_hw, "nearest")
+            total, aux = joint_loss(
+                disp_pred,
+                batch["disparity"],
+                batch["mask_disp"],
+                seg_pred,
+                batch["seg"],
+                batch["mask_seg"],
+                loss_weights=tcfg.loss_weights,
+                compute_scale_and_shift=tcfg.compute_scale_and_shift,
+            )
+            return total, (aux, updates.get("batch_stats", batch_stats))
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, rng):
+            (loss, (aux, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, rng)
+            grads = zero_frozen_grads(grads, mask)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics = {"loss": loss, **aux}
+            return (
+                TrainState(
+                    step=state.step + 1,
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                ),
+                metrics,
+            )
+
+        return train_step
+
+    def train_step(
+        self, state: TrainState, batch: Dict[str, np.ndarray], rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One optimizer step per patch mask over the same batch
+        (the PatchWiseInplace inner loop, train_SOccDPT.py:362-393)."""
+        device_batch = self._shard_batch(batch)
+        metrics = {}
+        for i in range(len(self.masks)):
+            if i not in self._step_cache:
+                self._step_cache[i] = self._build_step(i)
+            rng, sub = jax.random.split(rng)
+            state, metrics = self._step_cache[i](state, device_batch, sub)
+        return state, metrics
+
+    def _shard_batch(self, batch: Dict[str, np.ndarray]):
+        out = {}
+        sh = mesh_lib.batch_sharding(self.mesh)
+        for k in ("image", "disparity", "mask_disp", "seg", "mask_seg"):
+            if k in batch:
+                arr = np.asarray(batch[k])
+                if arr.dtype == bool:
+                    arr = arr.astype(np.float32)
+                out[k] = jax.device_put(arr, sh)
+        return out
+
+    # -- LR control ----------------------------------------------------
+
+    def on_plateau_metric(self, state: TrainState, metric: float) -> TrainState:
+        new_lr = self.scheduler.step(metric)
+        return dataclasses.replace(
+            state, opt_state=set_learning_rate(state.opt_state, new_lr)
+        )

@@ -1,18 +1,20 @@
 """Test configuration: force CPU with 8 virtual devices.
 
-Multi-device tests exercise the pjit/shard_map mesh without TPU hardware,
-mirroring SURVEY.md §4's plan (multi-device-on-CPU via
-``--xla_force_host_platform_device_count``). Must run before jax import.
+Multi-device tests exercise the pjit/shard_map mesh without TPU hardware
+(SURVEY.md §4: multi-device-on-CPU). The environment pins
+``JAX_PLATFORMS=axon`` (real TPU via tunnel) and jax may already be
+imported by a pytest plugin, so env vars are not enough — use
+``jax.config.update``, which takes effect as long as no backend has been
+initialized yet.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", jax.devices()

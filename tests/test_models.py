@@ -29,7 +29,8 @@ def tiny_cfg(version=3, **kw):
 
 
 def test_swin2_backbone_stage_shapes():
-    bb, chans = make_backbone("swin2test_64")
+    factory, chans = make_backbone("swin2test_64")
+    bb = factory()
     assert chans == (16, 32, 64, 128)
     x = jnp.zeros((2, 64, 64, 3))
     vars_ = bb.init(jax.random.PRNGKey(0), x)

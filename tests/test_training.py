@@ -1,0 +1,160 @@
+"""End-to-end training tests on the tiny model + synthetic data,
+including the 8-virtual-device mesh (SURVEY.md §4 plan item d)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soccdpt_tpu.core.config import CameraConfig, ModelConfig, TrainConfig
+from soccdpt_tpu.parallel import mesh as mesh_lib
+from soccdpt_tpu.train.patchwise import (
+    encoder_mask,
+    mask_fraction,
+    patch_masks,
+    select_trainable,
+)
+from soccdpt_tpu.train.trainer import PlateauScheduler, Trainer
+
+TEST_CAMERA = CameraConfig(fx=100.0, fy=100.0, cx=32.0, cy=24.0, width=64, height=48)
+
+
+def tiny_mcfg(**kw):
+    return ModelConfig(
+        model_type="dpt_swin2_test_64",
+        version=3,
+        features=64,
+        camera=TEST_CAMERA,
+        **kw,
+    )
+
+
+def synth_batch(batch=2, gt_hw=(48, 64)):
+    rng = np.random.default_rng(0)
+    return {
+        "image": rng.standard_normal((batch, 3, 64, 64)).astype(np.float32),
+        "disparity": np.abs(rng.standard_normal((batch, *gt_hw))).astype(np.float32),
+        "mask_disp": np.ones((batch, *gt_hw), np.float32),
+        "seg": (rng.random((batch, 3, *gt_hw)) > 0.5).astype(np.float32),
+        "mask_seg": np.ones((batch, 3, *gt_hw), np.float32),
+    }
+
+
+def test_patchwise_masks_partition():
+    params = {"a": np.zeros(1), "b": np.zeros(1), "c": np.zeros(1), "d": np.zeros(1)}
+    trainable = jax.tree_util.tree_map(lambda _: True, params)
+    masks = patch_masks(trainable, 0.5)
+    assert len(masks) == 2
+    # disjoint and covering
+    counts = [sum(jax.tree_util.tree_leaves(m)) for m in masks]
+    assert counts == [2, 2]
+    union = jax.tree_util.tree_map(lambda *ms: any(ms), *masks)
+    assert all(jax.tree_util.tree_leaves(union))
+
+
+def test_encoder_mask_freezes_backbone_fraction():
+    mcfg = tiny_mcfg()
+    from soccdpt_tpu.models.soccdpt import build_model
+
+    model = build_model(mcfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64)), return_raw=True
+    )["params"]
+    m_all = encoder_mask(params, 1.0)
+    m_none = encoder_mask(params, 0.0)
+    m_half = encoder_mask(params, 0.5)
+    assert mask_fraction(m_all) == 1.0
+    assert mask_fraction(m_none) < 1.0
+    assert mask_fraction(m_none) < mask_fraction(m_half) < 1.0
+
+
+def test_select_trainable_stops_gradients():
+    params = {"w1": jnp.ones(3), "w2": jnp.ones(3)}
+    mask = {"w1": True, "w2": False}
+
+    def loss(p):
+        p = select_trainable(p, mask)
+        return jnp.sum(p["w1"] ** 2) + jnp.sum(p["w2"] ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["w1"]).sum()) > 0
+    assert float(jnp.abs(g["w2"]).sum()) == 0
+
+
+def test_plateau_scheduler():
+    s = PlateauScheduler(1.0, patience=2, factor=0.1)
+    assert s.step(1.0) == 1.0
+    assert s.step(0.5) == 1.0  # improvement
+    assert s.step(0.6) == 1.0  # bad 1
+    assert s.step(0.6) == 1.0  # bad 2
+    assert s.step(0.6) == pytest.approx(0.1)  # bad 3 > patience -> decay
+
+
+def test_train_step_decreases_loss_single_device():
+    mesh = mesh_lib.make_mesh(shape=(1,))
+    trainer = Trainer(tiny_mcfg(), TrainConfig(batch_size=2, learning_rate=1e-3), mesh)
+    batch = synth_batch()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        state, metrics = trainer.train_step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_train_step_patchwise_two_patches():
+    trainer = Trainer(
+        tiny_mcfg(),
+        TrainConfig(batch_size=2, learning_rate=1e-3, patchwise_percentage=0.5),
+        mesh_lib.make_mesh(shape=(1,)),
+    )
+    batch = synth_batch()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+    assert len(trainer.masks) == 2
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    # two optimizer steps (one per patch)
+    assert int(state.step) == 2
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_step_on_8_device_mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    mesh = mesh_lib.make_mesh(shape=(8,))
+    trainer = Trainer(
+        tiny_mcfg(),
+        TrainConfig(batch_size=8, learning_rate=1e-3),
+        mesh,
+    )
+    batch = synth_batch(batch=8)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay replicated across the mesh
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from soccdpt_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+
+    trainer = Trainer(
+        tiny_mcfg(), TrainConfig(batch_size=2), mesh_lib.make_mesh(shape=(1,))
+    )
+    batch = synth_batch()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "step": np.asarray(state.step),
+    }
+    save_checkpoint(str(tmp_path / "ckpt"), payload)
+    restored = restore_checkpoint(str(tmp_path / "ckpt"))
+    got = jax.tree_util.tree_leaves(restored["params"])
+    want = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
