@@ -1,0 +1,132 @@
+"""Evaluation CLI (reference scripts/eval_SOccDPT.py).
+
+Loads a model (+checkpoint), saves colormapped RGB/GT/pred panels for N
+random-split samples under ``media/visuals/<model>_<ds>_<ver>/``,
+measures FPS with the chained-jit protocol, and reports the reference's
+metrics (SSI-aligned depth errors + class-averaged seg IoU).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+
+    from ..core.config import MODEL_TYPES, ModelConfig, TrainConfig
+    from ..data.loader import iterate_batches, random_split
+    from ..models.soccdpt import build_model
+    from ..train.evaluate import evaluate_depth_seg, make_eval_forward
+    from ..utils.timing import measure_forward_hz
+    from ..utils import visualize
+    from .train import build_datasets
+
+    parser = argparse.ArgumentParser(description="Evaluate SOccDPT (TPU)")
+    parser.add_argument("-v", "--version", type=int, choices=[1, 2, 3], required=True)
+    parser.add_argument(
+        "-dt", "--dataset", choices=["bdd", "idd", "idd+bdd"], required=True
+    )
+    parser.add_argument("-t", "--model_type", choices=list(MODEL_TYPES), required=True)
+    parser.add_argument("-l", "--load", default=None, help="checkpoint to load")
+    parser.add_argument(
+        "-b",
+        "--base_path",
+        default=os.path.expanduser("~/Datasets/Depth_Dataset_Bengaluru"),
+    )
+    parser.add_argument("--num_samples", type=int, default=10)
+    parser.add_argument("--media_dir", default="media/visuals")
+    parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--skip_fps", action="store_true")
+    args = parser.parse_args(argv)
+
+    tcfg = TrainConfig(dataset=args.dataset, base_path=args.base_path)
+    dataset, num_classes, class_2_color = build_datasets(tcfg, args.model_type)
+
+    mcfg = ModelConfig(
+        model_type=args.model_type,
+        version=args.version,
+        num_classes=num_classes,
+        compute_dtype="bfloat16",
+    )
+    model = build_model(mcfg, use_pallas=args.use_pallas)
+
+    sample = dataset[0]
+    x0 = jax.numpy.asarray(sample["image"][None])
+    variables = model.init(
+        jax.random.PRNGKey(0), x0, deterministic=True, return_raw=True
+    )
+    if args.load:
+        if args.load.endswith((".pth", ".pt")):
+            from ..core.torch_import import (
+                import_soccdpt_v3,
+                load_torch_state_dict,
+                merge_into,
+            )
+
+            sd = load_torch_state_dict(args.load)
+            p, s = import_soccdpt_v3(sd)
+            variables = {
+                "params": merge_into(jax.device_get(variables["params"]), p),
+                "batch_stats": merge_into(
+                    jax.device_get(variables["batch_stats"]), s
+                ),
+            }
+        else:
+            from ..core.checkpoint import restore_checkpoint
+
+            restored = restore_checkpoint(args.load)
+            variables = {
+                "params": restored["params"],
+                "batch_stats": restored.get(
+                    "batch_stats", variables.get("batch_stats", {})
+                ),
+            }
+
+    forward = make_eval_forward(model, variables)
+
+    # ---- visuals for N random samples (eval_SOccDPT.py:127-244) ----
+    n = min(args.num_samples, len(dataset))
+    subset, _ = random_split(dataset, [n, len(dataset) - n], seed=0)
+    out_dir = os.path.join(
+        args.media_dir, f"{args.model_type}_{args.dataset}_v{args.version}"
+    )
+    for i in range(n):
+        s = subset[i]
+        inv_d, seg = forward(jax.numpy.asarray(s["image"][None]))
+        panel = visualize.eval_panel(
+            s["image_raw"],
+            np.asarray(inv_d[0], np.float32),
+            s.get("disparity"),
+            np.asarray(seg[0], np.float32),
+            s.get("seg"),
+            class_2_color,
+        )
+        visualize.save_image(os.path.join(out_dir, f"sample_{i:03d}.png"), panel)
+    print(f"saved {n} visual panels to {out_dir}")
+
+    # ---- FPS (eval_SOccDPT.py:247-259) ----
+    if not args.skip_fps:
+        hz, dt = measure_forward_hz(
+            lambda x: model.apply(
+                variables, x, deterministic=True, return_raw=True
+            )[0],
+            x0,
+            batch=1,
+        )
+        print(f"FPS (batch=1): {hz:.1f} Hz ({dt * 1e3:.2f} ms/forward)")
+
+    # ---- metrics (eval_SOccDPT.py:262-283) ----
+    metrics = evaluate_depth_seg(
+        forward, iterate_batches(subset, 1, shuffle=False), max_batches=n
+    )
+    for k, v in metrics.items():
+        print(f"{k}: {v:.6f}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""FPS / parameter-count harness across model types
+(reference scripts/eval_timing.py:32-144).
+
+For each requested model type: build the model, count params, measure
+device time per forward with the chained-jit protocol, print a table.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.config import MODEL_TYPES, ModelConfig
+    from ..models.soccdpt import build_model
+    from ..utils.timing import measure_forward_hz
+
+    parser = argparse.ArgumentParser(description="Timing harness")
+    parser.add_argument(
+        "-t",
+        "--model_types",
+        nargs="+",
+        default=["dpt_swin2_tiny_256"],
+        choices=list(MODEL_TYPES),
+    )
+    parser.add_argument("-v", "--version", type=int, default=3)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--json", action="store_true")
+    args = parser.parse_args(argv)
+
+    results = []
+    for mt in args.model_types:
+        mcfg = ModelConfig(
+            model_type=mt, version=args.version, compute_dtype="bfloat16"
+        )
+        model = build_model(mcfg, use_pallas=args.use_pallas)
+        _, w, h = MODEL_TYPES[mt]
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((args.batch, 3, h, w)),
+            jnp.float32,
+        )
+        from __graft_entry__ import _fake_init
+
+        variables = _fake_init(model, x[:1], deterministic=True, return_raw=True)
+        n_params = sum(
+            int(np.prod(np.shape(l)))
+            for l in jax.tree_util.tree_leaves(variables["params"])
+        )
+        hz, dt = measure_forward_hz(
+            lambda inp: model.apply(
+                variables, inp, deterministic=True, return_raw=True
+            )[0],
+            x,
+            batch=args.batch,
+        )
+        row = {
+            "model_type": mt,
+            "params_M": round(n_params / 1e6, 2),
+            "hz": round(hz, 1),
+            "ms_per_forward": round(dt * 1e3, 3),
+            "batch": args.batch,
+        }
+        results.append(row)
+        if args.json:
+            print(json.dumps(row))
+        else:
+            print(
+                f"{mt:28s} {row['params_M']:8.1f}M params  "
+                f"{row['hz']:9.1f} Hz  {row['ms_per_forward']:8.2f} ms"
+            )
+    return results
+
+
+if __name__ == "__main__":
+    main()

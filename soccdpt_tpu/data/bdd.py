@@ -333,16 +333,39 @@ class ConcatDataset:
         raise IndexError(index)
 
 
+def discover_sequences(base_path: str) -> Tuple[str, ...]:
+    """Any directory under base_path with an ``rgb_img/`` subfolder."""
+    import glob as _glob
+
+    found = sorted(
+        os.path.basename(os.path.dirname(p.rstrip("/")))
+        for p in _glob.glob(os.path.join(base_path, "*", "rgb_img/"))
+    )
+    return tuple(found)
+
+
 def get_bdd_dataset(
     dataset_cls,
     transform: Callable,
     base_path: str,
-    sequences: Sequence[str] = DEFAULT_SEQUENCES,
+    sequences: Optional[Sequence[str]] = None,
     settings_doc: Optional[str] = None,
 ) -> ConcatDataset:
-    """Concat the training sequences (reference
-    bengaluru_driving_dataset.py:172-207)."""
+    """Concat the training sequences (reference hardcodes six,
+    bengaluru_driving_dataset.py:172-207; here the reference list is the
+    default with directory discovery as fallback)."""
     base_path = os.path.expanduser(base_path)
+    if sequences is None:
+        if all(
+            os.path.isdir(os.path.join(base_path, s)) for s in DEFAULT_SEQUENCES
+        ):
+            sequences = DEFAULT_SEQUENCES
+        else:
+            sequences = discover_sequences(base_path)
+            if not sequences:
+                raise FileNotFoundError(
+                    f"no BDD sequences found under {base_path}"
+                )
     if settings_doc is None:
         settings_doc = os.path.join(base_path, "calibration/pocoX3/calib.yaml")
         if not os.path.isfile(settings_doc):

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ..core.config import ModelConfig
 from ..ops.geometry import get_semantic_occupancy
-from .backbones import make_backbone
+from .backbones import dpt_extras, make_backbone
 from .dpt import DPT
 from .heads import DepthHead, IdentityHead, OccupancyHead, SegHead
 
@@ -34,6 +34,14 @@ Dtype = Any
 
 def _nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 3, 1)
+
+
+def _head_features(cfg: ModelConfig):
+    """(head_features_1, head_features_2); LeViT overrides to (64, 8)
+    (reference loader.py:99-106)."""
+    if cfg.model_type == "dpt_levit_224":
+        return cfg.head_features_1 or 64, 8
+    return cfg.head_features_1 or cfg.features, cfg.head_features_2
 
 
 class _GeometryMixin:
@@ -94,13 +102,14 @@ class SOccDPT_V1(nn.Module, _GeometryMixin):
         bb_d, chans = make_backbone(
             cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas
         )
+        hf1, hf2 = _head_features(cfg)
         depth_net = DPT(
             backbone=bb_d,
             in_channels=chans,
             head=partial(
                 DepthHead,
-                head_features_1=cfg.head_features_1 or cfg.features,
-                head_features_2=cfg.head_features_2,
+                head_features_1=hf1,
+                head_features_2=hf2,
                 non_negative=cfg.non_negative,
                 dtype=self.dtype,
             ),
@@ -108,6 +117,7 @@ class SOccDPT_V1(nn.Module, _GeometryMixin):
             use_bn=False,
             dtype=self.dtype,
             name="depth_net",
+            **dpt_extras(cfg.backbone, self.dtype),
         )
         bb_s, chans_s = make_backbone(
             cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas
@@ -126,6 +136,7 @@ class SOccDPT_V1(nn.Module, _GeometryMixin):
             use_bn=True,  # DPTSegmentationModel forces use_bn (dpt.py:240)
             dtype=self.dtype,
             name="seg_net",
+            **dpt_extras(cfg.backbone, self.dtype),
         )
 
         inv_depth = depth_net(x, deterministic=deterministic)
@@ -173,11 +184,13 @@ class SOccDPT_V2(nn.Module, _GeometryMixin):
             features=cfg.features,
             dtype=self.dtype,
             name="pretrained",
+            **dpt_extras(cfg.backbone, self.dtype),
         )
         feats = trunk(x, deterministic=deterministic)
+        hf1, hf2 = _head_features(cfg)
         inv_depth = DepthHead(
-            head_features_1=cfg.head_features_1 or cfg.features,
-            head_features_2=cfg.head_features_2,
+            head_features_1=hf1,
+            head_features_2=hf2,
             non_negative=cfg.non_negative,
             dtype=self.dtype,
             name="depth_head",
@@ -218,13 +231,14 @@ class SOccDPT_V3(nn.Module, _GeometryMixin):
         bb, chans = make_backbone(
             cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas
         )
+        hf1, hf2 = _head_features(cfg)
         depth_net = DPT(
             backbone=bb,
             in_channels=chans,
             head=partial(
                 DepthHead,
-                head_features_1=cfg.head_features_1 or cfg.features,
-                head_features_2=cfg.head_features_2,
+                head_features_1=hf1,
+                head_features_2=hf2,
                 non_negative=cfg.non_negative,
                 dtype=self.dtype,
             ),
@@ -232,6 +246,7 @@ class SOccDPT_V3(nn.Module, _GeometryMixin):
             return_features=True,
             dtype=self.dtype,
             name="depth_net",
+            **dpt_extras(cfg.backbone, self.dtype),
         )
         inv_depth, feats = depth_net(x, deterministic=deterministic)
         seg = SegHead(

@@ -37,6 +37,16 @@ def make_mesh(
     return Mesh(dev_array, axes)
 
 
+def mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """1-D data mesh over the largest device count that divides the
+    global batch (single-host convenience)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(shape=(n,), devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -1,0 +1,101 @@
+"""End-to-end CLI tests on synthetic fixtures: train a few steps, eval
+with visuals, export+reload, dataset analysis."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from soccdpt_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def bdd_tree(tmp_path_factory):
+    base = tmp_path_factory.mktemp("bdd_cli")
+    synthetic.make_bdd_fixture(str(base), frames_per_seq=3)
+    return str(base)
+
+
+def test_train_cli_few_steps(bdd_tree, tmp_path, monkeypatch):
+    from soccdpt_tpu.cli.train import main
+
+    monkeypatch.chdir(tmp_path)
+    results = main(
+        [
+            "-v", "3",
+            "-dt", "bdd",
+            "-t", "dpt_swin2_test_64",
+            "-b", bdd_tree,
+            "--sweep_json", "/root/repo/config/test_tiny.json",
+            "--max_steps", "2",
+            "--log_dir", str(tmp_path / "logs"),
+        ]
+    )
+    assert len(results) == 1
+    assert "rmse" in results[0] and "iou" in results[0]
+    logs = list((tmp_path / "logs").glob("*.jsonl"))
+    assert logs, "JSONL metrics written"
+    lines = [json.loads(l) for l in logs[0].read_text().splitlines()]
+    assert any("loss" in l for l in lines)
+
+
+def test_eval_cli(bdd_tree, tmp_path, monkeypatch):
+    from soccdpt_tpu.cli.eval import main
+
+    monkeypatch.chdir(tmp_path)
+    metrics = main(
+        [
+            "-v", "3",
+            "-dt", "bdd",
+            "-t", "dpt_swin2_test_64",
+            "-b", bdd_tree,
+            "--num_samples", "2",
+            "--media_dir", str(tmp_path / "media"),
+            "--skip_fps",
+        ]
+    )
+    assert "rmse" in metrics and "iou" in metrics
+    out_dir = tmp_path / "media" / "dpt_swin2_test_64_bdd_v3"
+    assert len(list(out_dir.glob("*.png"))) == 2
+
+
+def test_export_and_run(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from soccdpt_tpu.cli.export import export_model
+
+    out = export_model(
+        "dpt_swin2_test_64", 3, str(tmp_path / "m.stablehlo"), batch=1
+    )
+    with open(out, "rb") as fh:
+        exported = jax_export.deserialize(fh.read())
+    x = jnp.zeros((1, 3, 64, 64), jnp.float32)
+    inv_d, seg = exported.call(x)
+    assert inv_d.shape == (1, 64, 64)
+    assert seg.shape == (1, 3, 64, 64)
+
+
+def test_datasets_analysis(bdd_tree):
+    from soccdpt_tpu.cli.datasets_analysis import analyze
+    from soccdpt_tpu.cli.train import build_datasets
+    from soccdpt_tpu.core.config import TrainConfig
+
+    tcfg = TrainConfig(dataset="bdd", base_path=bdd_tree)
+    dataset, num_classes, _ = build_datasets(tcfg, "dpt_swin2_test_64")
+    stats = analyze(dataset, num_classes, max_samples=3)
+    assert stats["analyzed"] == 3
+    assert len(stats["class_pixel_fraction"]) == 3
+    assert "disparity" in stats
+
+
+def test_eval_patchwise_memory_analysis():
+    from soccdpt_tpu.cli.eval_patchwise import measure_step_memory
+
+    mem = measure_step_memory(
+        "dpt_swin2_test_64", 3, batch_size=1, patchwise_pct=1.0,
+        encoder_pct=1.0, gt_hw=(48, 64),
+    )
+    assert mem["n_patches"] == 1
+    assert any(k.endswith("bytes") for k in mem)

@@ -1,0 +1,158 @@
+"""Torch-checkpoint importer tests.
+
+Builds a synthetic torch-layout state dict (reference/timm key naming,
+torch weight layouts) from a randomly-initialized flax model, runs the
+importer, and checks the round trip reproduces every leaf — validating
+the name mapping and the layout transposes are mutually consistent.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from soccdpt_tpu.core.config import CameraConfig, ModelConfig
+from soccdpt_tpu.core.torch_import import (
+    import_soccdpt_v3,
+    merge_into,
+)
+from soccdpt_tpu.models.soccdpt import build_model
+
+TEST_CAMERA = CameraConfig(fx=100.0, fy=100.0, cx=32.0, cy=24.0, width=64, height=48)
+
+
+def _to_torch_sd(params, batch_stats):
+    """flax tree -> torch-naming state dict (the inverse of the importer)."""
+    sd = {}
+
+    def conv(k):
+        return np.transpose(k, (3, 2, 0, 1))
+
+    def dense(k):
+        return np.transpose(k, (1, 0))
+
+    bb = params["depth_net"]["backbone"]
+    sd["depth_net.pretrained.model.patch_embed.proj.weight"] = conv(
+        bb["patch_embed"]["kernel"]
+    )
+    sd["depth_net.pretrained.model.patch_embed.proj.bias"] = bb["patch_embed"]["bias"]
+    sd["depth_net.pretrained.model.patch_embed.norm.weight"] = bb["patch_norm"]["scale"]
+    sd["depth_net.pretrained.model.patch_embed.norm.bias"] = bb["patch_norm"]["bias"]
+    for name, blk in bb.items():
+        if name.startswith("stage"):
+            i, j = int(name[5]), int(name.split("block")[1])
+            p = f"depth_net.pretrained.model.layers.{i}.blocks.{j}."
+            a = blk["attn"]
+            sd[p + "attn.qkv.weight"] = dense(a["qkv"]["kernel"])
+            sd[p + "attn.q_bias"] = a["q_bias"]
+            sd[p + "attn.v_bias"] = a["v_bias"]
+            sd[p + "attn.logit_scale"] = a["logit_scale"]
+            sd[p + "attn.proj.weight"] = dense(a["proj"]["kernel"])
+            sd[p + "attn.proj.bias"] = a["proj"]["bias"]
+            sd[p + "attn.cpb_mlp.0.weight"] = dense(a["cpb_mlp_0"]["kernel"])
+            sd[p + "attn.cpb_mlp.0.bias"] = a["cpb_mlp_0"]["bias"]
+            sd[p + "attn.cpb_mlp.2.weight"] = dense(a["cpb_mlp_1"]["kernel"])
+            sd[p + "norm1.weight"] = blk["norm1"]["scale"]
+            sd[p + "norm1.bias"] = blk["norm1"]["bias"]
+            sd[p + "norm2.weight"] = blk["norm2"]["scale"]
+            sd[p + "norm2.bias"] = blk["norm2"]["bias"]
+            sd[p + "mlp.fc1.weight"] = dense(blk["mlp_fc1"]["kernel"])
+            sd[p + "mlp.fc1.bias"] = blk["mlp_fc1"]["bias"]
+            sd[p + "mlp.fc2.weight"] = dense(blk["mlp_fc2"]["kernel"])
+            sd[p + "mlp.fc2.bias"] = blk["mlp_fc2"]["bias"]
+        elif name.startswith("downsample"):
+            i = int(name[len("downsample"):])
+            p = f"depth_net.pretrained.model.layers.{i}.downsample."
+            sd[p + "reduction.weight"] = dense(blk["reduction"]["kernel"])
+            sd[p + "norm.weight"] = blk["norm"]["scale"]
+            sd[p + "norm.bias"] = blk["norm"]["bias"]
+
+    dn = params["depth_net"]
+    for k in range(1, 5):
+        sd[f"depth_net.scratch.layer{k}_rn.weight"] = conv(
+            dn[f"layer{k}_rn"]["kernel"]
+        )
+        rn = dn[f"refinenet{k}"]
+        # refinenet4 takes no lateral skip, so flax lazily creates only
+        # res_conv_unit2 (torch declares both; the unused one is ignored
+        # by the lenient merge).
+        for u in (1, 2):
+            if f"res_conv_unit{u}" not in rn:
+                continue
+            for c in (1, 2):
+                sd[
+                    f"depth_net.scratch.refinenet{k}.resConfUnit{u}.conv{c}.weight"
+                ] = conv(rn[f"res_conv_unit{u}"][f"conv{c}"]["kernel"])
+                sd[
+                    f"depth_net.scratch.refinenet{k}.resConfUnit{u}.conv{c}.bias"
+                ] = rn[f"res_conv_unit{u}"][f"conv{c}"]["bias"]
+        sd[f"depth_net.scratch.refinenet{k}.out_conv.weight"] = conv(
+            rn["out_conv"]["kernel"]
+        )
+        sd[f"depth_net.scratch.refinenet{k}.out_conv.bias"] = rn["out_conv"]["bias"]
+
+    head = dn["head"]
+    for idx, cname in ((0, "conv1"), (2, "conv2"), (4, "conv3")):
+        sd[f"depth_net.scratch.output_conv.{idx}.weight"] = conv(
+            head[cname]["kernel"]
+        )
+        sd[f"depth_net.scratch.output_conv.{idx}.bias"] = head[cname]["bias"]
+
+    sh = params["seg_head"]
+    sd["seg_head.0.weight"] = conv(sh["conv1"]["kernel"])
+    sd["seg_head.1.weight"] = sh["bn"]["scale"]
+    sd["seg_head.1.bias"] = sh["bn"]["bias"]
+    sd["seg_head.1.running_mean"] = batch_stats["seg_head"]["bn"]["mean"]
+    sd["seg_head.1.running_var"] = batch_stats["seg_head"]["bn"]["var"]
+    sd["seg_head.4.weight"] = conv(sh["conv2"]["kernel"])
+    sd["seg_head.4.bias"] = sh["conv2"]["bias"]
+    return {k: np.asarray(v) for k, v in sd.items()}
+
+
+def test_v3_roundtrip():
+    cfg = ModelConfig(
+        model_type="dpt_swin2_test_64", version=3, features=64, camera=TEST_CAMERA
+    )
+    model = build_model(cfg)
+    x = jnp.zeros((1, 3, 64, 64))
+    variables = model.init(jax.random.PRNGKey(7), x, return_raw=True)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    sd = _to_torch_sd(params, stats)
+    imported_params, imported_stats = import_soccdpt_v3(sd)
+
+    # Merge into a freshly-initialized model (different rng), then compare
+    # every imported leaf against the original.
+    fresh = jax.device_get(
+        model.init(jax.random.PRNGKey(1), x, return_raw=True)["params"]
+    )
+    merged = merge_into(fresh, imported_params, verbose=False)
+
+    want_leaves = jax.tree_util.tree_leaves_with_path(params)
+    got = dict(jax.tree_util.tree_leaves_with_path(merged))
+    n_checked = 0
+    for path, w in want_leaves:
+        g = got[path]
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), err_msg=str(path))
+        n_checked += 1
+    assert n_checked == len(want_leaves)
+
+    # batch_stats import
+    merged_stats = merge_into(
+        jax.device_get(
+            model.init(jax.random.PRNGKey(1), x, return_raw=True)["batch_stats"]
+        ),
+        imported_stats,
+        verbose=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged_stats["seg_head"]["bn"]["mean"]),
+        np.asarray(stats["seg_head"]["bn"]["mean"]),
+    )
+
+
+def test_merge_reports_and_keeps_on_mismatch():
+    target = {"a": {"kernel": np.zeros((2, 2), np.float32)}}
+    imported = {"a": {"kernel": np.ones((3, 3), np.float32)}}
+    out = merge_into(target, imported, verbose=False)
+    np.testing.assert_array_equal(out["a"]["kernel"], np.zeros((2, 2)))
