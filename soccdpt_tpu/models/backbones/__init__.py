@@ -54,6 +54,10 @@ def make_backbone(
         from .levit import make_levit_backbone
 
         return make_levit_backbone(name, hooks=hooks, dtype=dtype)
+    if name in ("next_vit_large_6m", "nextvittest_64"):
+        from .next_vit import make_next_vit_backbone
+
+        return make_next_vit_backbone(name, hooks=hooks, dtype=dtype)
     raise ValueError(f"backbone {name!r} not implemented")
 
 

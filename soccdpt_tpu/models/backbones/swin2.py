@@ -131,18 +131,39 @@ def relative_coords_table(
 
 @functools.lru_cache(maxsize=64)
 def shifted_window_attn_mask(
-    H: int, W: int, wh: int, ww: int, sh: int, sw: int
+    H: int,
+    W: int,
+    wh: int,
+    ww: int,
+    sh: int,
+    sw: int,
+    Hp: Optional[int] = None,
+    Wp: Optional[int] = None,
 ) -> Optional[np.ndarray]:
-    """(num_windows, N, N) additive mask (0 / -100) for SW-MSA."""
-    if sh == 0 and sw == 0:
+    """(num_windows, N, N) additive mask (0 / -100) for SW-MSA.
+
+    When (Hp, Wp) exceed (H, W) the input is zero-padded to window
+    multiples (timm behavior for non-divisible grids, e.g. the 384-px
+    Swin2 models fed 256-px inputs — reference loader.py:179-212);
+    padded tokens get their own region so real tokens never attend to
+    them.
+    """
+    Hp = Hp if Hp is not None else H
+    Wp = Wp if Wp is not None else W
+    if sh == 0 and sw == 0 and Hp == H and Wp == W:
         return None
-    img_mask = np.zeros((H, W), dtype=np.int32)
-    cnt = 0
-    for hs in (slice(0, -wh), slice(-wh, -sh), slice(-sh, None)):
-        for ws in (slice(0, -ww), slice(-ww, -sw), slice(-sw, None)):
-            img_mask[hs, ws] = cnt
-            cnt += 1
-    mw = img_mask.reshape(H // wh, wh, W // ww, ww)
+    img_mask = np.zeros((Hp, Wp), dtype=np.int32)
+    if sh > 0 or sw > 0:
+        cnt = 0
+        for hs in (slice(0, Hp - wh), slice(Hp - wh, Hp - sh), slice(Hp - sh, Hp)):
+            for ws in (slice(0, Wp - ww), slice(Wp - ww, Wp - sw), slice(Wp - sw, Wp)):
+                img_mask[hs, ws] = cnt
+                cnt += 1
+    if Hp > H:
+        img_mask[H:, :] = -1
+    if Wp > W:
+        img_mask[:, W:] = -1
+    mw = img_mask.reshape(Hp // wh, wh, Wp // ww, ww)
     mw = mw.transpose(0, 2, 1, 3).reshape(-1, wh * ww)  # (nW, N)
     diff = mw[:, None, :] - mw[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
@@ -303,12 +324,17 @@ class SwinV2Block(nn.Module):
         shift = ws // 2 if (self.shift and ws < min(Hr, Wr)) else 0
         pws = self.pretrained_window_size if ws == self.window_size else 0
 
+        Hp = -(-Hr // ws) * ws
+        Wp = -(-Wr // ws) * ws
+
         shortcut = x
         h = x
+        if (Hp, Wp) != (Hr, Wr):
+            h = jnp.pad(h, ((0, 0), (0, Hp - Hr), (0, Wp - Wr), (0, 0)))
         if shift > 0:
             h = jnp.roll(h, shift=(-shift, -shift), axis=(1, 2))
         win = window_partition(h, ws, ws)
-        mask_np = shifted_window_attn_mask(Hr, Wr, ws, ws, shift, shift)
+        mask_np = shifted_window_attn_mask(Hr, Wr, ws, ws, shift, shift, Hp, Wp)
         mask = None if mask_np is None else jnp.asarray(mask_np)
         win = WindowAttentionV2(
             dim=self.dim,
@@ -319,9 +345,11 @@ class SwinV2Block(nn.Module):
             use_pallas=self.use_pallas,
             name="attn",
         )(win, mask)
-        h = window_reverse(win, ws, ws, Hr, Wr)
+        h = window_reverse(win, ws, ws, Hp, Wp)
         if shift > 0:
             h = jnp.roll(h, shift=(shift, shift), axis=(1, 2))
+        if (Hp, Wp) != (Hr, Wr):
+            h = h[:, :Hr, :Wr]
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(h).astype(self.dtype)
         rng = (
             self.make_rng("dropout")

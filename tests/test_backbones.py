@@ -130,3 +130,30 @@ def test_hybrid_full_model():
     inv_d, seg = model.apply(vars_, x, return_raw=True)
     assert bool(jnp.all(jnp.isfinite(inv_d)))
     assert seg.shape[1] == 3
+
+
+def test_next_vit_backbone_and_model():
+    factory, chans = make_backbone("nextvittest_64")
+    bb = factory()
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 64, 64, 3)), jnp.float32
+    )
+    vars_ = bb.init(jax.random.PRNGKey(0), x)
+    feats = bb.apply(vars_, x, deterministic=True)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 16),
+        (1, 8, 8, 32),
+        (1, 4, 4, 64),
+        (1, 2, 2, 128),
+    ]
+
+    from soccdpt_tpu.core.config import MODEL_TYPES, ModelConfig
+    from soccdpt_tpu.models.soccdpt import build_model
+
+    MODEL_TYPES.setdefault("dpt_nextvittest_64", ("nextvittest_64", 64, 64))
+    cfg = ModelConfig(model_type="dpt_nextvittest_64", version=3, features=32)
+    model = build_model(cfg)
+    xin = jnp.zeros((1, 3, 64, 64))
+    vars_m = model.init(jax.random.PRNGKey(0), xin, return_raw=True)
+    inv_d, seg = model.apply(vars_m, xin, return_raw=True)
+    assert inv_d.shape == (1, 64, 64) and seg.shape == (1, 3, 64, 64)
