@@ -43,21 +43,25 @@ DATASET_BASE = "~/Datasets/Depth_Dataset_Bengaluru"
 DEFAULT_CALIB = os.path.join(DATASET_BASE, "calibration/pocoX3/calib.yaml")
 
 
+_COLOR_TABLE = np.asarray(
+    [class_2_color[c] for c in range(NUM_CLASSES)], np.uint8
+)
+
+
 def rgb_seg_to_bool(seg_frame: np.ndarray) -> np.ndarray:
     """RGB seg image -> boolean (H, W, 3) class masks
-    (reference bengaluru_driving_dataset.py:67-76)."""
-    out = np.zeros((*seg_frame.shape[:2], NUM_CLASSES), bool)
-    for color, cls in color_2_class.items():
-        out[..., cls] = np.all(seg_frame == np.asarray(color), axis=-1)
-    return out
+    (reference bengaluru_driving_dataset.py:67-76). Uses the C++
+    host kernel when built (soccdpt_tpu.native)."""
+    from .. import native
+
+    return native.rgb_to_bool_masks(seg_frame, _COLOR_TABLE)
 
 
 def rgb_seg_to_class(seg_frame: np.ndarray) -> np.ndarray:
     """RGB seg image -> integer class map (reference bdd_helper.py:10-25)."""
-    out = np.zeros(seg_frame.shape[:2], np.int32)
-    for color, cls in color_2_class.items():
-        out[np.all(seg_frame == np.asarray(color), axis=-1)] = cls
-    return out
+    from .. import native
+
+    return native.rgb_to_class(seg_frame, _COLOR_TABLE)
 
 
 class BDDSequence:
@@ -203,19 +207,19 @@ class OccupancyProcessor:
     def voxelize(
         self, points: np.ndarray, semantics: np.ndarray
     ) -> Dict[str, np.ndarray]:
-        """Vectorized voxelization with np.add.at + threshold
-        (reference transform_points_to_occupancy_grid_vect,
-        bdd_helper.py:289-362)."""
-        gx, gy, gz = self.occ.grid_size
-        shape_m = np.asarray(self.occ.occupancy_shape, np.float32)
-        grid = np.zeros((gx, gy, gz, NUM_CLASSES), np.float32)
+        """Vectorized voxelization + threshold (semantics of reference
+        transform_points_to_occupancy_grid_vect, bdd_helper.py:289-362);
+        scatter runs in the C++ host kernel when built."""
+        from .. import native
 
-        ok = np.isfinite(points).all(axis=1)
-        pts, sem = points[ok], semantics[ok]
-        ijk = (pts / shape_m * np.asarray(self.occ.grid_size)).astype(int)
-        inb = ((ijk > 0) & (ijk < np.asarray(self.occ.grid_size))).all(axis=1)
-        ijk, sem = ijk[inb], sem[inb]
-        np.add.at(grid, (ijk[:, 0], ijk[:, 1], ijk[:, 2], sem), 1)
+        shape_m = np.asarray(self.occ.occupancy_shape, np.float32)
+        grid = native.voxelize_points(
+            points,
+            semantics,
+            tuple(self.occ.occupancy_shape),
+            tuple(self.occ.grid_size),
+            NUM_CLASSES,
+        )
 
         occupied = grid > self.threshold
         idx = np.argwhere(grid >= self.threshold)
