@@ -23,11 +23,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(scale_ref, q_ref, k_ref, v_ref, bias_ref, out_ref):
-    """q/k/v: (1, 1, N, d) blocks; bias: (1, N, N); scale in SMEM."""
+    """q/k/v: (1, 1, N, d) blocks; bias: (1, N, N); scale: full (H, 1)
+    array in SMEM, indexed by the head program id."""
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
-    s = scale_ref[0, 0]
+    s = scale_ref[pl.program_id(1), 0]
 
     attn = jax.lax.dot_general(
         q,
@@ -52,7 +53,7 @@ def _attn_kernel_masked(
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
-    s = scale_ref[0, 0]
+    s = scale_ref[pl.program_id(1), 0]
 
     attn = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -96,8 +97,9 @@ def cosine_window_attention(
     bias_spec = pl.BlockSpec(
         (1, N, N), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
     )
+    # full (H, 1) scale array resident in SMEM (block == array shape)
     scale_spec = pl.BlockSpec(
-        (1, 1), lambda i, j: (j, 0), memory_space=pltpu.SMEM
+        (H, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
     )
     out_spec = pl.BlockSpec(
         (1, 1, N, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM

@@ -157,3 +157,24 @@ def test_next_vit_backbone_and_model():
     vars_m = model.init(jax.random.PRNGKey(0), xin, return_raw=True)
     inv_d, seg = model.apply(vars_m, xin, return_raw=True)
     assert inv_d.shape == (1, 64, 64) and seg.shape == (1, 3, 64, 64)
+
+
+def test_vit3d_refine_and_classify():
+    from soccdpt_tpu.models.backbones.vit_3d import ViT3D
+
+    grid = jnp.asarray(
+        np.random.default_rng(5).random((1, 32, 32, 8, 3)), jnp.float32
+    )
+    m = ViT3D(patch_size=(8, 8, 4), embed_dim=32, depth=2, num_heads=2)
+    vars_ = m.init(jax.random.PRNGKey(0), grid)
+    out = m.apply(vars_, grid)
+    assert out.shape == grid.shape
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+
+    mc = ViT3D(
+        patch_size=(8, 8, 4), embed_dim=32, depth=2, num_heads=2,
+        mode="classify", num_classes=5,
+    )
+    vars_c = mc.init(jax.random.PRNGKey(0), grid)
+    logits = mc.apply(vars_c, grid)
+    assert logits.shape == (1, 5)
