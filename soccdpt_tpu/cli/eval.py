@@ -46,12 +46,18 @@ def main(argv=None):
     tcfg = TrainConfig(dataset=args.dataset, base_path=args.base_path)
     dataset, num_classes, class_2_color = build_datasets(tcfg, args.model_type)
 
-    mcfg = ModelConfig(
+    from .train import dataset_camera
+
+    mcfg_kw = dict(
         model_type=args.model_type,
         version=args.version,
         num_classes=num_classes,
         compute_dtype="bfloat16",
     )
+    cam = dataset_camera(dataset)
+    if cam is not None:
+        mcfg_kw["camera"] = cam
+    mcfg = ModelConfig(**mcfg_kw)
     model = build_model(mcfg, use_pallas=args.use_pallas)
 
     sample = dataset[0]

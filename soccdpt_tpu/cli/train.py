@@ -60,6 +60,16 @@ def build_datasets(tcfg, model_type: str):
     return dataset, num_classes, class_2_color
 
 
+def dataset_camera(dataset):
+    """Camera intrinsics from the first BDD sequence, if any (IDD ships
+    no calib -> None, callers fall back to the default CameraConfig)."""
+    ds = dataset
+    while hasattr(ds, "datasets"):
+        ds = ds.datasets[0]
+    seq = getattr(ds, "seq", None)
+    return getattr(seq, "camera", None)
+
+
 def train_one(
     tcfg,
     model_type: str,
@@ -82,6 +92,8 @@ def train_one(
     from ..utils.timing import StepTimer
 
     dataset, num_classes, _ = build_datasets(tcfg, model_type)
+    if camera is None:
+        camera = dataset_camera(dataset)
     train_set, val_set = split_train_val(
         dataset, tcfg.val_percent, tcfg.dataset_percentage, seed=tcfg.seed
     )

@@ -177,6 +177,9 @@ class Trainer:
             )(state.params, state.batch_stats, batch, rng)
             grads = zero_frozen_grads(grads, mask)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            # adamw's decoupled weight decay would otherwise shrink frozen
+            # params even with zero grads — freeze means freeze.
+            updates = zero_frozen_grads(updates, mask)
             new_params = optax.apply_updates(state.params, updates)
             metrics = {"loss": loss, **aux}
             return (

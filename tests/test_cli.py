@@ -99,3 +99,33 @@ def test_eval_patchwise_memory_analysis():
     )
     assert mem["n_patches"] == 1
     assert any(k.endswith("bytes") for k in mem)
+
+
+def test_eval_others_builtin_adapter(bdd_tree):
+    from soccdpt_tpu.cli.eval_others import builtin_adapter, evaluate_adapter
+    from soccdpt_tpu.cli.train import build_datasets
+    from soccdpt_tpu.core.config import TrainConfig
+
+    tcfg = TrainConfig(dataset="bdd", base_path=bdd_tree)
+    dataset, _, _ = build_datasets(tcfg, "dpt_swin2_test_64")
+    adapter = builtin_adapter("dpt_swin2_test_64")
+    metrics = evaluate_adapter(adapter, dataset, max_samples=2)
+    assert "rmse" in metrics and "a1" in metrics
+
+
+def test_graph_runs(tmp_path):
+    import json as _json
+
+    from soccdpt_tpu.cli.graph_runs import load_runs, plot_metric
+
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    with open(log_dir / "metrics_run1.jsonl", "w") as fh:
+        for step in range(5):
+            fh.write(_json.dumps({"step": step, "loss": 1.0 / (step + 1)}) + "\n")
+    runs = load_runs(str(log_dir))
+    assert "run1" in runs and len(runs["run1"]) == 5
+    out = tmp_path / "loss.png"
+    assert plot_metric(runs, "loss", str(out))
+    assert out.exists()
+    assert not plot_metric(runs, "nonexistent_metric", str(tmp_path / "x.png"))

@@ -158,3 +158,37 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_frozen_params_not_decayed():
+    """weight_decay must not move frozen leaves (adamw decoupled decay)."""
+    trainer = Trainer(
+        tiny_mcfg(),
+        TrainConfig(
+            batch_size=2, learning_rate=1e-3, weight_decay=0.1,
+            encoder_percentage=0.0,
+        ),
+        mesh_lib.make_mesh(shape=(1,)),
+    )
+    batch = synth_batch()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+    frozen_before = [
+        np.asarray(l)
+        for l, m in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(trainer.trainable_mask),
+        )
+        if not m
+    ]
+    assert frozen_before, "test requires frozen leaves"
+    state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    frozen_after = [
+        np.asarray(l)
+        for l, m in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(trainer.trainable_mask),
+        )
+        if not m
+    ]
+    for b, a in zip(frozen_before, frozen_after):
+        np.testing.assert_array_equal(b, a)
