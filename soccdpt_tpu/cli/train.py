@@ -91,7 +91,7 @@ def train_one(
     from ..utils.logging import MetricWriter
     from ..utils.timing import StepTimer
 
-    dataset, num_classes, _ = build_datasets(tcfg, model_type)
+    dataset, num_classes, class_2_color = build_datasets(tcfg, model_type)
     if camera is None:
         camera = dataset_camera(dataset)
     train_set, val_set = split_train_val(
@@ -187,6 +187,31 @@ def train_one(
                     max_batches=16,
                 )
                 writer.log({f"val/{k}": v for k, v in last_eval.items()}, global_step)
+                if tcfg.log_histograms:
+                    from ..utils.logging import param_histograms
+
+                    writer.log(param_histograms(state.params), global_step)
+                if tcfg.log_visuals and log_dir:
+                    # eval-round side-by-side panel, like the reference's
+                    # wandb.Image logging (utils/__init__.py:646-753)
+                    from ..utils import visualize
+
+                    s0 = val_set[0]
+                    inv_d, seg_p = forward(jax.numpy.asarray(s0["image"][None]))
+                    panel = visualize.eval_panel(
+                        s0["image_raw"],
+                        np.asarray(inv_d[0], np.float32),
+                        s0.get("disparity"),
+                        np.asarray(seg_p[0], np.float32),
+                        s0.get("seg"),
+                        class_2_color,
+                    )
+                    visualize.save_image(
+                        os.path.join(
+                            log_dir, f"{run_id}_step{global_step:06d}.png"
+                        ),
+                        panel,
+                    )
                 state = trainer.on_plateau_metric(state, loss)
             global_step += 1
             if max_steps is not None and global_step >= max_steps:

@@ -210,6 +210,8 @@ class TrainConfig:
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel axis sizes
     mesh_axes: Tuple[str, ...] = ("data",)
     remat_backbone: bool = False  # jax.checkpoint on backbone stages
+    log_histograms: bool = False  # per-leaf weight stats at eval rounds
+    log_visuals: bool = True  # eval-round visualization panels
 
 
 def dataclass_replace(cfg, **kw):

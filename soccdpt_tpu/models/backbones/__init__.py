@@ -18,8 +18,9 @@ def make_backbone(
     hooks: Optional[Sequence[int]] = None,
     dtype: Any = None,
     use_pallas: bool = False,
+    remat: bool = False,
 ) -> Tuple[nn.Module, Tuple[int, ...]]:
-    """Return (backbone module, stage channel widths)."""
+    """Return (backbone module factory, stage channel widths)."""
     import jax.numpy as jnp
 
     dtype = dtype if dtype is not None else jnp.float32
@@ -28,7 +29,7 @@ def make_backbone(
         from .swin2 import make_swin2_backbone
 
         return make_swin2_backbone(
-            name, hooks=hooks, dtype=dtype, use_pallas=use_pallas
+            name, hooks=hooks, dtype=dtype, use_pallas=use_pallas, remat=remat
         )
     if name in ("swinl12_384", "swin1test_64"):
         from .swin import make_swin1_backbone

@@ -394,12 +394,18 @@ class SwinV2Backbone(nn.Module):
 
     Output channel widths for swin2t16_256: (96, 192, 384, 768) at
     strides (4, 8, 16, 32) — reference blocks.py:74-78.
+
+    ``remat``: rematerialize each block's activations on the backward
+    pass (jax.checkpoint) — combined with the patchwise stop_gradient
+    masks this bounds training HBM (SURVEY.md §7.3 risk 3, the
+    memory-intent of the reference's PatchWise scheme).
     """
 
     cfg: SwinV2Config
     hooks: Tuple[int, int, int, int] = (1, 1, 5, 1)
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -426,12 +432,17 @@ class SwinV2Backbone(nn.Module):
         dpr = np.linspace(0, cfg.drop_path_rate, total_depth)
         feats = []
         blk_id = 0
+        block_cls = (
+            nn.remat(SwinV2Block, static_argnums=(2,))
+            if self.remat
+            else SwinV2Block
+        )
         for i, depth in enumerate(cfg.depths):
             res = (grid[0] >> i, grid[1] >> i)
             dim = cfg.stage_dims[i]
             captured = None
             for j in range(depth):
-                x = SwinV2Block(
+                x = block_cls(
                     dim=dim,
                     num_heads=cfg.num_heads[i],
                     input_resolution=res,
@@ -443,7 +454,7 @@ class SwinV2Backbone(nn.Module):
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
                     name=f"stage{i}_block{j}",
-                )(x, deterministic=deterministic)
+                )(x, deterministic)
                 blk_id += 1
                 if j == self.hooks[i]:
                     captured = x
@@ -462,6 +473,7 @@ def make_swin2_backbone(
     hooks: Optional[Sequence[int]] = None,
     dtype: Dtype = jnp.float32,
     use_pallas: bool = False,
+    remat: bool = False,
 ):
     """Factory mirroring reference ``_make_pretrained_swin2*`` +
     ``_make_encoder`` channel tables (reference blocks.py:64-78).
@@ -471,6 +483,11 @@ def make_swin2_backbone(
     cfg = SWIN2_CONFIGS[backbone]
     hooks = tuple(hooks) if hooks is not None else SWIN2_HOOKS[backbone]
     factory = functools.partial(
-        SwinV2Backbone, cfg=cfg, hooks=hooks, dtype=dtype, use_pallas=use_pallas
+        SwinV2Backbone,
+        cfg=cfg,
+        hooks=hooks,
+        dtype=dtype,
+        use_pallas=use_pallas,
+        remat=remat,
     )
     return factory, cfg.stage_dims

@@ -86,6 +86,7 @@ class SOccDPT_V1(nn.Module, _GeometryMixin):
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -100,7 +101,8 @@ class SOccDPT_V1(nn.Module, _GeometryMixin):
         x = _nchw_to_nhwc(x).astype(self.dtype)
 
         bb_d, chans = make_backbone(
-            cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas
+            cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas,
+            remat=self.remat,
         )
         hf1, hf2 = _head_features(cfg)
         depth_net = DPT(
@@ -120,7 +122,8 @@ class SOccDPT_V1(nn.Module, _GeometryMixin):
             **dpt_extras(cfg.backbone, self.dtype),
         )
         bb_s, chans_s = make_backbone(
-            cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas
+            cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas,
+            remat=self.remat,
         )
         seg_net = DPT(
             backbone=bb_s,
@@ -162,6 +165,7 @@ class SOccDPT_V2(nn.Module, _GeometryMixin):
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -175,7 +179,8 @@ class SOccDPT_V2(nn.Module, _GeometryMixin):
         cfg = self.cfg
         x = _nchw_to_nhwc(x).astype(self.dtype)
         bb, chans = make_backbone(
-            cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas
+            cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas,
+            remat=self.remat,
         )
         trunk = DPT(
             backbone=bb,
@@ -216,6 +221,7 @@ class SOccDPT_V3(nn.Module, _GeometryMixin):
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -229,7 +235,8 @@ class SOccDPT_V3(nn.Module, _GeometryMixin):
         cfg = self.cfg
         x = _nchw_to_nhwc(x).astype(self.dtype)
         bb, chans = make_backbone(
-            cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas
+            cfg.backbone, dtype=self.dtype, use_pallas=self.use_pallas,
+            remat=self.remat,
         )
         hf1, hf2 = _head_features(cfg)
         depth_net = DPT(
@@ -266,11 +273,11 @@ SOccDPT_versions = {1: SOccDPT_V1, 2: SOccDPT_V2, 3: SOccDPT_V3}
 
 
 def build_model(
-    cfg: ModelConfig, use_pallas: bool = False
+    cfg: ModelConfig, use_pallas: bool = False, remat: bool = False
 ) -> nn.Module:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     return SOccDPT_versions[cfg.version](
-        cfg=cfg, dtype=dtype, use_pallas=use_pallas
+        cfg=cfg, dtype=dtype, use_pallas=use_pallas, remat=remat
     )
 
 

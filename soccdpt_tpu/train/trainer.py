@@ -103,7 +103,9 @@ class Trainer:
         self.mcfg = mcfg
         self.tcfg = tcfg
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
-        self.model = build_model(mcfg, use_pallas=use_pallas)
+        self.model = build_model(
+            mcfg, use_pallas=use_pallas, remat=tcfg.remat_backbone
+        )
         self.tx = make_optimizer(tcfg)
         self.scheduler = PlateauScheduler(tcfg.learning_rate)
         self._step_cache: Dict[int, Callable] = {}

@@ -192,3 +192,15 @@ def test_frozen_params_not_decayed():
     ]
     for b, a in zip(frozen_before, frozen_after):
         np.testing.assert_array_equal(b, a)
+
+
+def test_remat_backbone_trains():
+    trainer = Trainer(
+        tiny_mcfg(),
+        TrainConfig(batch_size=2, learning_rate=1e-3, remat_backbone=True),
+        mesh_lib.make_mesh(shape=(1,)),
+    )
+    batch = synth_batch()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
