@@ -1,0 +1,51 @@
+"""End-to-end serving pipeline: raw camera frames -> occupancy, one jit.
+
+The reference's deployment path runs cv2 preprocessing on host, the
+network under onnxruntime, and numpy geometry after
+(run_SOccDPT_onnx.py; SURVEY.md §3.5). Here the whole pipeline — uint8
+decode-normalize-resize, backbone+decoder+heads, unprojection, optional
+voxelization — is a single jitted function (BASELINE.json north star:
+"fuse the camera preprocessing with the backbone"), so one host->device
+transfer of the raw frame is the only data movement per request.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .core.config import MODEL_TYPES, ModelConfig
+from .data.transforms import device_preprocess
+from .models.soccdpt import build_model
+
+
+def make_serving_fn(
+    cfg: ModelConfig,
+    variables: Any,
+    compute_occ: bool = False,
+    output_size: Optional[Tuple[int, int]] = None,
+    use_pallas: bool = False,
+    jit: bool = True,
+) -> Callable:
+    """Build ``serve(frames_u8) -> (inv_depth, seg, points, occ|None)``.
+
+    frames_u8: (B, H, W, 3) uint8 RGB at any camera resolution.
+    Outputs are at camera resolution (or ``output_size``), matching the
+    reference model forward contract (SOccDPT.py:366-372).
+    """
+    model = build_model(cfg, use_pallas=use_pallas)
+    _, net_w, net_h = MODEL_TYPES[cfg.model_type]
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def serve(frames_u8: jnp.ndarray):
+        x = device_preprocess(frames_u8, (net_w, net_h), dtype=dtype)
+        return model.apply(
+            variables,
+            x,
+            deterministic=True,
+            compute_occ=compute_occ,
+            output_size=output_size,
+        )
+
+    return jax.jit(serve) if jit else serve

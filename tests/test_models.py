@@ -115,3 +115,32 @@ def test_train_mode_mutates_batch_stats():
     assert any(
         not np.allclose(a, b) for a, b in zip(leaves_before, leaves_after)
     )
+
+
+def test_serving_pipeline_end_to_end():
+    """uint8 frames -> (inv_depth, seg, points, occ) in one jit."""
+    from soccdpt_tpu.serving import make_serving_fn
+
+    cfg = dataclasses.replace(
+        tiny_cfg(version=3),
+        occupancy=dataclasses.replace(
+            tiny_cfg().occupancy,
+            grid_size=(16, 16, 8),
+            pc_scale=(1.0, 1.0, 1.0),
+            pc_shift=(2.0, 2.0, 0.0),
+            correction_angle=(0.0, 0.0, 0.0),
+        ),
+    )
+    model = build_model(cfg)
+    frames = np.random.default_rng(0).integers(
+        0, 255, (1, 48, 64, 3), dtype=np.uint8
+    )
+    # init with the preprocessed shape the serving fn will produce
+    x0 = jnp.zeros((1, 3, 64, 64))
+    variables = model.init(jax.random.PRNGKey(0), x0, return_raw=True)
+    serve = make_serving_fn(cfg, variables, compute_occ=True)
+    inv_d, seg, points, occ = serve(jnp.asarray(frames))
+    assert inv_d.shape == (1, 48, 64)
+    assert seg.shape == (1, 3, 48, 64)
+    assert points.shape == (1, 48, 64, 3)
+    assert occ.shape == (1, 16, 16, 8, 3)
