@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _rcu_kernel(
-    x_hbm,  # (B, H+4, W+4, C) in ANY/HBM (pre-padded by 2)
+    x_hbm,  # (B, H+8, W+8, C) in ANY/HBM (pre-padded 2 left / 6 right
+    #         so halo DMA slices stay 8-aligned for the Mosaic tiling)
     w1_ref,  # (9, C, C) VMEM
     b1_ref,  # (1, C) VMEM
     w2_ref,  # (9, C, C) VMEM
@@ -45,14 +46,14 @@ def _rcu_kernel(
     j = pl.program_id(2)
 
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * TH, TH + 4), pl.ds(j * TW, TW + 4), :],
+        x_hbm.at[b, pl.ds(i * TH, TH + 8), pl.ds(j * TW, TW + 8), :],
         scratch_x,
         sem,
     )
     copy.start()
     copy.wait()
 
-    x_tile = scratch_x[:]  # (TH+4, TW+4, C)
+    x_tile = scratch_x[:]  # (TH+8, TW+8, C); cols/rows beyond +4 unused
     h = jnp.maximum(x_tile, 0.0)
 
     # conv1 over the (TH+2, TW+2) mid region: 9 shifted matmuls
@@ -119,7 +120,7 @@ def fused_rcu(
     TH, TW = tile
     assert H % TH == 0 and W % TW == 0, (H, W, tile)
 
-    x_pad = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    x_pad = jnp.pad(x, ((0, 0), (2, 6), (2, 6), (0, 0)))
     w1r = w1.reshape(9, C, C).astype(x.dtype)
     w2r = w2.reshape(9, C, C).astype(x.dtype)
     b1r = b1.reshape(1, C).astype(jnp.float32)
@@ -148,7 +149,7 @@ def fused_rcu(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 4, TW + 4, C), x.dtype),
+            pltpu.VMEM((TH + 8, TW + 8, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
