@@ -49,11 +49,19 @@ def main(argv=None):
     parser.add_argument(
         "-c", "--checkpoint_dir", default=os.path.join(os.getcwd(), "checkpoints")
     )
+    parser.add_argument(
+        "--val_percent", type=float, default=0.1
+    )
     args = parser.parse_args(argv)
 
     transform, _, _ = load_transforms(args.model_type)
     dataset = get_bdd_dataset(BDDOccupancy, transform, args.base_path)
-    train_set, val_set = split_train_val(dataset, 0.1, seed=0)
+    # GT frames and unprojection run at the calib camera resolution
+    first = dataset.datasets[0]
+    camera = first.seq.camera
+    for d in dataset.datasets:
+        d.target_size = (camera.width, camera.height)
+    train_set, val_set = split_train_val(dataset, args.val_percent, seed=0)
 
     mcfg = ModelConfig(
         model_type=args.model_type,
@@ -61,12 +69,14 @@ def main(argv=None):
         compute_occ=True,
         occupancy_head=True,  # real 3D CNN, not the reference's Identity
         compute_dtype="bfloat16",
+        camera=camera,
     )
     model = build_model(mcfg)
 
     sample = train_set[0]
     x0 = jnp.asarray(sample["image"][None])
-    variables = model.init(jax.random.PRNGKey(0), x0, return_raw=True)
+    # compute_occ so the occupancy head's params are created
+    variables = model.init(jax.random.PRNGKey(0), x0, compute_occ=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if args.load:

@@ -114,8 +114,10 @@ def fused_rcu(
     Returns x + conv2(relu(conv1(relu(x)))), both convs 3x3/pad 1."""
     B, H, W, C = x.shape
     if tile is None:
-        th = min(32, H)
-        tw = min(128, W)
+        # Mosaic stack-allocates each unrolled tap slice; keep the
+        # per-tile working set well under the 16 MB VMEM budget.
+        th = min(16, H)
+        tw = min(64, W)
         tile = (th, tw)
     TH, TW = tile
     assert H % TH == 0 and W % TW == 0, (H, W, tile)

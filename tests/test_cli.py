@@ -129,3 +129,22 @@ def test_graph_runs(tmp_path):
     assert plot_metric(runs, "loss", str(out))
     assert out.exists()
     assert not plot_metric(runs, "nonexistent_metric", str(tmp_path / "x.png"))
+
+
+def test_train_occupancy_cli(bdd_tree, tmp_path, monkeypatch):
+    from soccdpt_tpu.cli.train_occupancy import main
+
+    monkeypatch.chdir(tmp_path)
+    main(
+        [
+            "-t", "dpt_swin2_test_64",
+            "-b", bdd_tree,
+            "--epochs", "1",
+            "--max_steps", "1",
+            "--val_percent", "0.34",
+            "-c", str(tmp_path / "ckpts"),
+        ]
+    )
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "ckpts" / "SOccDPT_Occupancy" / "run" / "*"))
