@@ -64,6 +64,13 @@ def rgb_seg_to_class(seg_frame: np.ndarray) -> np.ndarray:
     return native.rgb_to_class(seg_frame, _COLOR_TABLE)
 
 
+def parse_rot(rot: str) -> np.ndarray:
+    """Parse a '[r r r ...]' rotation-matrix string from the trajectory
+    CSV (reference bdd_helper.py:46-50)."""
+    rot = rot.replace("[", "").replace("]", "").replace("\n", "")
+    return np.asarray(rot.split(), np.float32).reshape(3, 3)
+
+
 class BDDSequence:
     """Iterator over one sequence folder (reference
     BengaluruDepthDatasetIterator, bdd_helper.py:60-192)."""
@@ -87,8 +94,27 @@ class BDDSequence:
         self.csv = pd.read_csv(csv_path)
         self.camera = CameraConfig.from_yaml(settings_doc)
 
+        # optional trajectory CSV with per-row 3x3 rotation matrices
+        # (reference bdd_helper.py:75-77,120-124)
+        traj_path = os.path.join(
+            self.dataset_path, self.dataset_id + "_traj.csv"
+        )
+        self.traj = None
+        if os.path.isfile(traj_path):
+            self.traj = pd.read_csv(traj_path)
+            if "rot" in self.traj.columns:
+                self.traj["rot"] = self.traj["rot"].apply(parse_rot)
+
     def __len__(self) -> int:
         return len(self.csv)
+
+    def traj_between(self, start_ts: int, end_ts: int):
+        """Trajectory rows between two timestamps (reference
+        get_item_between_timestamp, bdd_helper.py:28-43)."""
+        if self.traj is None:
+            return None
+        t = self.traj
+        return t[t["Timestamp"].between(start_ts, end_ts)]
 
     def __getitem__(self, key: int) -> Dict[str, np.ndarray]:
         import cv2
