@@ -41,13 +41,13 @@ def export_model(
     if load:
         if load.endswith((".pth", ".pt")):
             from ..core.torch_import import (
-                import_soccdpt_v3,
+                import_soccdpt,
                 load_torch_state_dict,
                 merge_into,
             )
 
             sd = load_torch_state_dict(load)
-            p, s = import_soccdpt_v3(sd)
+            p, s = import_soccdpt(sd, version)
             variables = {
                 "params": merge_into(jax.device_get(variables["params"]), p),
                 "batch_stats": merge_into(

@@ -119,14 +119,14 @@ def train_one(
     )
     if tcfg.load:
         from ..core.torch_import import (
-            import_soccdpt_v3,
+            import_soccdpt,
             load_torch_state_dict,
             merge_into,
         )
 
         if tcfg.load.endswith((".pth", ".pt")):
             sd = load_torch_state_dict(tcfg.load)
-            p, s = import_soccdpt_v3(sd)
+            p, s = import_soccdpt(sd, version)
             state = dataclasses.replace(
                 state,
                 params=merge_into(jax.device_get(state.params), p),

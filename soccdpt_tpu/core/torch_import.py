@@ -228,6 +228,94 @@ def import_dpt_depth_model(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     return _nest(p), _nest(s)
 
 
+def convert_seg_output_conv_keys(
+    sd: Dict[str, np.ndarray], torch_prefix: str
+) -> Tuple[Dict[Tuple[str, ...], np.ndarray], Dict[Tuple[str, ...], np.ndarray]]:
+    """DPTSegmentationModel head at ``scratch.output_conv.{0,1,4}``
+    (conv3x3-noBias, BN, conv1x1 — reference dpt.py:242-252) -> the flax
+    SegHead tree (conv1 / bn / conv2)."""
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    for key, val in sd.items():
+        if not key.startswith(torch_prefix):
+            continue
+        sub = key[len(torch_prefix):]
+        m = re.match(r"scratch\.output_conv\.(\d)\.(.+)$", sub)
+        if not m:
+            continue
+        idx, leaf = int(m.group(1)), m.group(2)
+        if idx == 0 and leaf == "weight":
+            params[("head", "conv1", "kernel")] = _conv(val)
+        elif idx == 1:
+            if leaf == "weight":
+                params[("head", "bn", "scale")] = _id(val)
+            elif leaf == "bias":
+                params[("head", "bn", "bias")] = _id(val)
+            elif leaf == "running_mean":
+                stats[("head", "bn", "mean")] = _id(val)
+            elif leaf == "running_var":
+                stats[("head", "bn", "var")] = _id(val)
+        elif idx == 4:
+            if leaf == "weight":
+                params[("head", "conv2", "kernel")] = _conv(val)
+            elif leaf == "bias":
+                params[("head", "conv2", "bias")] = _id(val)
+    return params, stats
+
+
+def import_soccdpt_v1(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """SOccDPT_V1: two full DPTs (reference SOccDPT.py:470-523) —
+    ``depth_net.*`` (depth head at scratch.output_conv) and ``seg_net.*``
+    (seg head at scratch.output_conv)."""
+    d_p, d_s = convert_swin2_dpt_keys(sd, torch_prefix="depth_net.")
+    s_p, s_s = convert_swin2_dpt_keys(sd, torch_prefix="seg_net.")
+    # the seg DPT's output_conv is a seg head, not the depth head the
+    # generic converter assumed — override those leaves
+    for k in [k for k in s_p if k[0] == "head"]:
+        del s_p[k]
+    sh_p, sh_s = convert_seg_output_conv_keys(sd, torch_prefix="seg_net.")
+    s_p.update(sh_p)
+    s_s.update(sh_s)
+
+    flat_p = {("depth_net",) + k: v for k, v in d_p.items()}
+    flat_p.update({("seg_net",) + k: v for k, v in s_p.items()})
+    flat_s = {("depth_net",) + k: v for k, v in d_s.items()}
+    flat_s.update({("seg_net",) + k: v for k, v in s_s.items()})
+    return _nest(flat_p), _nest(flat_s)
+
+
+def import_soccdpt_v2(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """SOccDPT_V2 (reference SOccDPT.py:526-623): shared trunk under
+    ``pretrained.*`` (identity head), plus ``depth_head.{0,2,4}`` and the
+    seg head (saved as ``seg_ead`` due to the reference's typo; both
+    spellings accepted)."""
+    t_p, t_s = convert_swin2_dpt_keys(sd, torch_prefix="pretrained.")
+    flat_p = {("pretrained",) + k: v for k, v in t_p.items()}
+    flat_s = {("pretrained",) + k: v for k, v in t_s.items()}
+
+    for key, val in sd.items():
+        m = re.match(r"depth_head\.(\d)\.(weight|bias)$", key)
+        if m:
+            idx, wb = int(m.group(1)), m.group(2)
+            conv = {0: "conv1", 2: "conv2", 4: "conv3"}.get(idx)
+            if conv:
+                flat_p[("depth_head", conv, "kernel" if wb == "weight" else "bias")] = (
+                    _conv(val) if wb == "weight" else _id(val)
+                )
+
+    for prefix in ("seg_head.", "seg_ead."):
+        p, s = convert_seg_head_keys(sd, torch_prefix=prefix)
+        flat_p.update({("seg_head",) + k: v for k, v in p.items()})
+        flat_s.update({("seg_head",) + k: v for k, v in s.items()})
+    return _nest(flat_p), _nest(flat_s)
+
+
+def import_soccdpt(sd: Dict[str, np.ndarray], version: int) -> Tuple[Dict, Dict]:
+    return {1: import_soccdpt_v1, 2: import_soccdpt_v2, 3: import_soccdpt_v3}[
+        version
+    ](sd)
+
+
 def merge_into(params: PyTree, imported: Dict, verbose: bool = True) -> PyTree:
     """Lenient merge of an imported nested dict into a flax param tree
     (strict=False semantics, reference base_model.py:30-33)."""

@@ -156,3 +156,84 @@ def test_merge_reports_and_keeps_on_mismatch():
     imported = {"a": {"kernel": np.ones((3, 3), np.float32)}}
     out = merge_into(target, imported, verbose=False)
     np.testing.assert_array_equal(out["a"]["kernel"], np.zeros((2, 2)))
+
+
+def _build(version):
+    cfg = ModelConfig(
+        model_type="dpt_swin2_test_64", version=version, features=64,
+        camera=TEST_CAMERA,
+    )
+    model = build_model(cfg)
+    x = jnp.zeros((1, 3, 64, 64))
+    v = model.init(jax.random.PRNGKey(3), x, return_raw=True)
+    return model, jax.device_get(v["params"]), jax.device_get(v["batch_stats"])
+
+
+def test_v2_import_depth_head_and_seg_ead_alias():
+    """V2 importer handles the reference's seg_ead typo and depth_head
+    Sequential indices."""
+    from soccdpt_tpu.core.torch_import import import_soccdpt_v2
+
+    _, params, stats = _build(2)
+
+    def conv(k):
+        return np.transpose(k, (3, 2, 0, 1))
+
+    sd = {}
+    dh = params["depth_head"]
+    for idx, name in ((0, "conv1"), (2, "conv2"), (4, "conv3")):
+        sd[f"depth_head.{idx}.weight"] = conv(dh[name]["kernel"])
+        sd[f"depth_head.{idx}.bias"] = dh[name]["bias"]
+    sh = params["seg_head"]
+    sd["seg_ead.0.weight"] = conv(sh["conv1"]["kernel"])  # reference typo
+    sd["seg_ead.1.weight"] = sh["bn"]["scale"]
+    sd["seg_ead.1.bias"] = sh["bn"]["bias"]
+    sd["seg_ead.1.running_mean"] = stats["seg_head"]["bn"]["mean"]
+    sd["seg_ead.1.running_var"] = stats["seg_head"]["bn"]["var"]
+    sd["seg_ead.4.weight"] = conv(sh["conv2"]["kernel"])
+    sd["seg_ead.4.bias"] = sh["conv2"]["bias"]
+
+    p, s = import_soccdpt_v2({k: np.asarray(v) for k, v in sd.items()})
+    fresh = _build(2)[1]
+    merged = merge_into(fresh, p, verbose=False)
+    np.testing.assert_allclose(
+        merged["depth_head"]["conv1"]["kernel"], dh["conv1"]["kernel"]
+    )
+    np.testing.assert_allclose(
+        merged["seg_head"]["conv2"]["kernel"], sh["conv2"]["kernel"]
+    )
+
+
+def test_v1_import_two_networks():
+    from soccdpt_tpu.core.torch_import import import_soccdpt_v1
+
+    _, params, stats = _build(1)
+
+    def conv(k):
+        return np.transpose(k, (3, 2, 0, 1))
+
+    sd = {}
+    # depth head of depth_net
+    dh = params["depth_net"]["head"]
+    for idx, name in ((0, "conv1"), (2, "conv2"), (4, "conv3")):
+        sd[f"depth_net.scratch.output_conv.{idx}.weight"] = conv(dh[name]["kernel"])
+        sd[f"depth_net.scratch.output_conv.{idx}.bias"] = dh[name]["bias"]
+    # seg head of seg_net
+    sh = params["seg_net"]["head"]
+    sd["seg_net.scratch.output_conv.0.weight"] = conv(sh["conv1"]["kernel"])
+    sd["seg_net.scratch.output_conv.1.weight"] = sh["bn"]["scale"]
+    sd["seg_net.scratch.output_conv.1.bias"] = sh["bn"]["bias"]
+    sd["seg_net.scratch.output_conv.1.running_mean"] = stats["seg_net"]["head"]["bn"]["mean"]
+    sd["seg_net.scratch.output_conv.1.running_var"] = stats["seg_net"]["head"]["bn"]["var"]
+    sd["seg_net.scratch.output_conv.4.weight"] = conv(sh["conv2"]["kernel"])
+    sd["seg_net.scratch.output_conv.4.bias"] = sh["conv2"]["bias"]
+
+    p, s = import_soccdpt_v1({k: np.asarray(v) for k, v in sd.items()})
+    fresh = _build(1)[1]
+    merged = merge_into(fresh, p, verbose=False)
+    np.testing.assert_allclose(
+        merged["depth_net"]["head"]["conv1"]["kernel"], dh["conv1"]["kernel"]
+    )
+    np.testing.assert_allclose(
+        merged["seg_net"]["head"]["conv1"]["kernel"], sh["conv1"]["kernel"]
+    )
