@@ -8,7 +8,6 @@ metrics (SSI-aligned depth errors + class-averaged seg IoU).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 
 import numpy as np

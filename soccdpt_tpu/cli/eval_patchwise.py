@@ -21,7 +21,7 @@ def measure_step_memory(
     gt_hw=(256, 256),
 ):
     import jax
-    import jax.numpy as jnp
+
     import numpy as np
 
     from ..core.config import MODEL_TYPES, ModelConfig, TrainConfig

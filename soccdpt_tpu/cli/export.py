@@ -22,7 +22,6 @@ def export_model(
 ) -> str:
     import jax
     import jax.numpy as jnp
-    import numpy as np
     from jax import export as jax_export
 
     from ..core.config import MODEL_TYPES, ModelConfig

@@ -8,7 +8,6 @@ run_SOccDPT_onnx.py:32-176) without an ONNX dependency.
 from __future__ import annotations
 
 import argparse
-import os
 import time
 
 

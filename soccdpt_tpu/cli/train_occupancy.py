@@ -11,9 +11,8 @@ Unlike the reference — whose occupancy_conv is ``nn.Identity``
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
-from functools import partial
+
 
 import numpy as np
 
@@ -24,7 +23,7 @@ def main(argv=None):
     import optax
 
     from ..core.checkpoint import checkpoint_dir, save_checkpoint
-    from ..core.config import ModelConfig, TrainConfig
+    from ..core.config import ModelConfig
     from ..data.bdd import BDDOccupancy, get_bdd_dataset
     from ..data.loader import iterate_batches, split_train_val
     from ..data.transforms import load_transforms

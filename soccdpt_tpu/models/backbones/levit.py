@@ -19,7 +19,6 @@ divisions, reference backbones/levit.py:39-55).
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple
 

@@ -23,7 +23,7 @@ windowed-attention kernel (ops/window_attention.py) enabled via
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple
 
 import jax

@@ -18,7 +18,6 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from .vit import Readout, TransformerBlock, ViTConfig

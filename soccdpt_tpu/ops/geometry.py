@@ -17,7 +17,7 @@ reference defects documented in SURVEY.md §2.6:
 from __future__ import annotations
 
 import math
-from functools import partial
+
 from typing import Optional, Tuple
 
 import jax

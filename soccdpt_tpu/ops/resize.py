@@ -20,7 +20,7 @@ bit-exact to the torch kernels (matrices encode the torch index math).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,6 @@ inference/serving flips ``use_pallas=True``.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

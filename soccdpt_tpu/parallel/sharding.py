@@ -9,7 +9,7 @@ inserts the all-gathers/reduce-scatters over ICI.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

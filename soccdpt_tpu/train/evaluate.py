@@ -9,7 +9,7 @@ optional — the metric path has no plotting dependencies.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, Dict, Optional
 
 import jax
@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.resize import resize_nchw
-from .metrics import DepthMetrics, occupancy_iou, seg_iou, ssi_aligned_depth_metrics
+from .metrics import occupancy_iou, seg_iou, ssi_aligned_depth_metrics
 
 
 def make_eval_forward(model, variables) -> Callable:

@@ -17,7 +17,7 @@ enumeration semantics (reference utils/__init__.py:51-62).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, List, Tuple
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp
@@ -31,11 +31,6 @@ def _flatten(params: PyTree):
 
 def tree_mask_like(params: PyTree, value: bool = True) -> PyTree:
     return jax.tree_util.tree_map(lambda _: value, params)
-
-
-def _paths(params: PyTree) -> List[Tuple]:
-    paths_leaves = jax.tree_util.tree_flatten_with_path(params)[0]
-    return [p for p, _ in paths_leaves]
 
 
 def _path_contains(path, names) -> bool:

@@ -204,3 +204,42 @@ def test_remat_backbone_trains():
     state = trainer.init_state(jax.random.PRNGKey(0), batch["image"][:1])
     state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_tp_sharded_params_match_replicated_forward():
+    """Forward with tensor-parallel-sharded params over a (2, 4) mesh
+    must equal the replicated single-device result (XLA inserts the
+    collectives; parallel/sharding.py rules)."""
+    from soccdpt_tpu.models.soccdpt import build_model
+    from soccdpt_tpu.parallel.sharding import param_sharding_rules
+
+    mcfg = tiny_mcfg()
+    model = build_model(mcfg)
+    x = jnp.asarray(synth_batch(batch=2)["image"])
+    vars_ = model.init(jax.random.PRNGKey(0), x, return_raw=True)
+
+    want = model.apply(vars_, x, return_raw=True)
+
+    mesh = mesh_lib.make_mesh(
+        shape=(2, 4), axes=(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS)
+    )
+    rules = param_sharding_rules(vars_["params"], mesh, min_size=2**8)
+    sharded_params = jax.tree_util.tree_map(
+        jax.device_put, jax.device_get(vars_["params"]), rules
+    )
+    # at least one leaf actually sharded on the model axis
+    assert any(
+        not l.sharding.is_fully_replicated
+        for l in jax.tree_util.tree_leaves(sharded_params)
+    )
+    got = model.apply(
+        {"params": sharded_params, "batch_stats": vars_["batch_stats"]},
+        jax.device_put(x, mesh_lib.batch_sharding(mesh)),
+        return_raw=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(want[1]), atol=2e-5
+    )
