@@ -162,11 +162,11 @@ class Trainer:
             seg_pred = resize_nchw(seg.astype(jnp.float32), gt_hw, "nearest")
             total, aux = joint_loss(
                 disp_pred,
-                batch["disparity"],
-                batch["mask_disp"],
+                batch["disparity"].astype(jnp.float32),
+                batch["mask_disp"].astype(jnp.float32),
                 seg_pred,
-                batch["seg"],
-                batch["mask_seg"],
+                batch["seg"].astype(jnp.float32),
+                batch["mask_seg"].astype(jnp.float32),
                 loss_weights=tcfg.loss_weights,
                 compute_scale_and_shift=tcfg.compute_scale_and_shift,
             )
@@ -211,13 +211,21 @@ class Trainer:
         return state, metrics
 
     def _shard_batch(self, batch: Dict[str, np.ndarray]):
+        """Host->device transfer with minimal bytes: boolean masks ship
+        as uint8 (4x less wire traffic than float32 — the GT tensors at
+        camera resolution dominate step time on tunneled devices) and
+        are cast on device inside the jitted loss."""
         out = {}
         sh = mesh_lib.batch_sharding(self.mesh)
         for k in ("image", "disparity", "mask_disp", "seg", "mask_seg"):
             if k in batch:
                 arr = np.asarray(batch[k])
                 if arr.dtype == bool:
-                    arr = arr.astype(np.float32)
+                    arr = arr.astype(np.uint8)
+                elif k in ("seg", "mask_disp", "mask_seg") and np.all(
+                    (arr == 0) | (arr == 1)
+                ):
+                    arr = arr.astype(np.uint8)
                 out[k] = jax.device_put(arr, sh)
         return out
 
