@@ -35,11 +35,12 @@ def main() -> None:
 
     from __graft_entry__ import _fake_init
 
-    # Batch sweep on v5e (r1): b=1 -> 1769 Hz, b=8 -> 1116, b=16 -> 1068,
-    # b=32 -> 1008. Single-image is both fastest per-image and the honest
-    # comparison to the reference's sequential 47 Hz protocol.
+    # Per-image rate is ~0.9-1.0 ms across batch sizes (PERF.md); batch 1
+    # is the honest comparison to the reference's sequential 47 Hz protocol.
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    n_iters = int(os.environ.get("BENCH_ITERS", "21"))
+    # Chain enough forwards that device time (~0.6 ms each) dominates the
+    # tunnel's per-dispatch RTT jitter in the t(N) - t(1) difference.
+    n_iters = int(os.environ.get("BENCH_ITERS", "201"))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
 
     cfg = ModelConfig(
