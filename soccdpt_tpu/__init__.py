@@ -19,3 +19,34 @@ cli       train / eval / export / bench entry points
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "CameraConfig",
+    "ModelConfig",
+    "OccupancyConfig",
+    "TrainConfig",
+    "Trainer",
+    "build_model",
+    "make_serving_fn",
+]
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import soccdpt_tpu` jax-free)."""
+    if name in ("CameraConfig", "ModelConfig", "OccupancyConfig", "TrainConfig"):
+        from .core import config
+
+        return getattr(config, name)
+    if name == "build_model":
+        from .models.soccdpt import build_model
+
+        return build_model
+    if name == "Trainer":
+        from .train.trainer import Trainer
+
+        return Trainer
+    if name == "make_serving_fn":
+        from .serving import make_serving_fn
+
+        return make_serving_fn
+    raise AttributeError(name)
