@@ -56,11 +56,13 @@ def main() -> None:
     @partial(jax.jit, static_argnums=(1,))
     def chained(inp, n):
         def body(i, carry):
-            inv_d, _seg = model.apply(
+            inv_d, seg = model.apply(
                 variables, carry, deterministic=True, return_raw=True
             )
-            # data dependency so iterations cannot be elided or fused away
-            return carry + (inv_d.mean() * 1e-9)[None, None, None, None].astype(
+            # data dependency on BOTH outputs: without it XLA dead-code
+            # eliminates the untouched head and the bench lies
+            dep = inv_d.mean() + seg.mean().astype(inv_d.dtype)
+            return carry + (dep * 1e-9)[None, None, None, None].astype(
                 carry.dtype
             )
 

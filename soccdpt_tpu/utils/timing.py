@@ -32,9 +32,14 @@ def measure_forward_hz(
     def chained(inp, n):
         def body(i, carry):
             out = apply_fn(carry)
-            dep = jnp.asarray(out).mean() if not isinstance(out, tuple) else (
-                jnp.asarray(out[0]).mean()
-            )
+            # depend on EVERY output, else XLA dead-code eliminates the
+            # untouched ones and the measurement lies
+            leaves = [
+                jnp.asarray(o).mean().astype(jnp.float32)
+                for o in jax.tree_util.tree_leaves(out)
+                if o is not None
+            ]
+            dep = sum(leaves[1:], leaves[0])
             return carry + (dep * 1e-9).astype(carry.dtype)
 
         return jax.lax.fori_loop(0, n, body, inp).sum()
