@@ -144,3 +144,24 @@ def test_split_and_batching(bdd_tree):
     b0 = list(iterate_batches(train, 2, seed=0, epoch=0))[0]["image"]
     b1 = list(iterate_batches(train, 2, seed=0, epoch=1))[0]["image"]
     assert not np.allclose(b0, b1)
+
+
+def test_multi_host_batch_sharding_disjoint_and_covering():
+    """Per-process index shards partition the epoch (data/loader.py)."""
+    from soccdpt_tpu.data.loader import iterate_batches
+
+    class Ds:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {"idx": np.asarray([i])}
+
+    seen = []
+    for proc in range(4):
+        for b in iterate_batches(
+            Ds(), 2, shuffle=True, seed=0, epoch=0,
+            process_index=proc, process_count=4,
+        ):
+            seen.extend(b["idx"].ravel().tolist())
+    assert sorted(seen) == list(range(16))
