@@ -316,6 +316,148 @@ def import_soccdpt(sd: Dict[str, np.ndarray], version: int) -> Tuple[Dict, Dict]
     ](sd)
 
 
+# ---------------------------------------------------------------------------
+# ViT / BEiT family (MiDaS dpt_large_384 / dpt_beit_*_384 layouts)
+# ---------------------------------------------------------------------------
+
+
+def _conv_t(w):
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)."""
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+def _resize_rel_pos_table(
+    table: np.ndarray, src_hw: Tuple[int, int], dst_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Bilinearly resize a BEiT relative-position-bias table between
+    window geometries (the reference patches timm to do this at runtime,
+    backbones/beit.py:30-83; here it happens once at import). The last 3
+    rows (cls entries) pass through."""
+    sh, sw = 2 * src_hw[0] - 1, 2 * src_hw[1] - 1
+    dh, dw = 2 * dst_hw[0] - 1, 2 * dst_hw[1] - 1
+    heads = table.shape[1]
+    spatial = table[: sh * sw].reshape(sh, sw, heads)
+    if (sh, sw) != (dh, dw):
+        from ..ops.resize import resize_hw
+
+        spatial = np.asarray(
+            resize_hw(
+                spatial[None].astype(np.float32), (dh, dw), "bilinear", True
+            )
+        )[0]
+    return np.concatenate(
+        [spatial.reshape(dh * dw, heads), table[sh * sw:]], axis=0
+    )
+
+
+def convert_vit_dpt_keys(
+    sd: Dict[str, np.ndarray],
+    torch_prefix: str = "",
+    family: str = "vit",
+    grid_hw: Tuple[int, int] = (24, 24),
+) -> Tuple[Dict[Tuple[str, ...], np.ndarray], Dict[Tuple[str, ...], np.ndarray]]:
+    """MiDaS DPT-with-ViT/BEiT layout -> flax path dict.
+
+    Backbone under ``pretrained.model.*`` (timm VisionTransformer/Beit),
+    pyramid ops under ``pretrained.act_postprocess{1..4}`` (readout
+    project Linear at index 0.project.0, 1x1 conv at index 3,
+    up/down conv at index 4 — reference backbones/utils.py:154-269),
+    scratch/refinenets/head handled by the shared converter.
+    """
+    params, stats = convert_swin2_dpt_keys(sd, torch_prefix=torch_prefix)
+    # drop backbone keys the swin2 converter mis-claimed (it only matches
+    # swin-specific names, so usually nothing; keep scratch/head results)
+    params = {k: v for k, v in params.items() if k[0] != "backbone"}
+
+    bb = ("backbone",)
+    for key, val in sd.items():
+        if torch_prefix:
+            if not key.startswith(torch_prefix):
+                continue
+            key = key[len(torch_prefix):]
+
+        m = re.match(r"pretrained\.model\.(.*)$", key)
+        if m:
+            sub = m.group(1)
+            if sub == "cls_token":
+                params[bb + ("cls_token",)] = _id(val)
+            elif sub == "pos_embed":
+                params[bb + ("pos_embed",)] = _id(val)
+            elif sub == "patch_embed.proj.weight":
+                params[bb + ("patch_embed", "kernel")] = _conv(val)
+            elif sub == "patch_embed.proj.bias":
+                params[bb + ("patch_embed", "bias")] = _id(val)
+            else:
+                b = re.match(r"blocks\.(\d+)\.(.*)$", sub)
+                if not b:
+                    continue
+                i, rest = int(b.group(1)), b.group(2)
+                blk = bb + (f"block{i}",)
+                table = {
+                    "norm1.weight": (blk + ("norm1", "scale"), _id),
+                    "norm1.bias": (blk + ("norm1", "bias"), _id),
+                    "norm2.weight": (blk + ("norm2", "scale"), _id),
+                    "norm2.bias": (blk + ("norm2", "bias"), _id),
+                    "attn.qkv.weight": (blk + ("qkv", "kernel"), _dense),
+                    "attn.qkv.bias": (blk + ("qkv", "bias"), _id),
+                    "attn.q_bias": (blk + ("q_bias",), _id),
+                    "attn.v_bias": (blk + ("v_bias",), _id),
+                    "attn.proj.weight": (blk + ("proj", "kernel"), _dense),
+                    "attn.proj.bias": (blk + ("proj", "bias"), _id),
+                    "mlp.fc1.weight": (blk + ("mlp_fc1", "kernel"), _dense),
+                    "mlp.fc1.bias": (blk + ("mlp_fc1", "bias"), _id),
+                    "mlp.fc2.weight": (blk + ("mlp_fc2", "kernel"), _dense),
+                    "mlp.fc2.bias": (blk + ("mlp_fc2", "bias"), _id),
+                    "gamma_1": (blk + ("gamma_1",), _id),
+                    "gamma_2": (blk + ("gamma_2",), _id),
+                }
+                if rest in table:
+                    path, fn = table[rest]
+                    params[path] = fn(val)
+                elif rest == "attn.relative_position_bias_table":
+                    n = int(np.sqrt(val.shape[0] - 3))
+                    src = ((n + 1) // 2, (n + 1) // 2)
+                    params[blk + ("rel_pos_table",)] = _resize_rel_pos_table(
+                        np.asarray(val), src, grid_hw
+                    )
+            continue
+
+        m = re.match(r"pretrained\.act_postprocess(\d)\.(.*)$", key)
+        if m:
+            lvl, rest = int(m.group(1)), m.group(2)
+            if rest == "0.project.0.weight":
+                params[bb + (f"readout{lvl}", "project", "kernel")] = _dense(val)
+            elif rest == "0.project.0.bias":
+                params[bb + (f"readout{lvl}", "project", "bias")] = _id(val)
+            elif rest == "3.weight":
+                params[bb + (f"proj{lvl}", "kernel")] = _conv(val)
+            elif rest == "3.bias":
+                params[bb + (f"proj{lvl}", "bias")] = _id(val)
+            elif rest == "4.weight":
+                if lvl == 1:
+                    params[bb + ("up4x", "kernel")] = _conv_t(val)
+                elif lvl == 2:
+                    params[bb + ("up2x", "kernel")] = _conv_t(val)
+                elif lvl == 4:
+                    params[bb + ("down2x", "kernel")] = _conv(val)
+            elif rest == "4.bias":
+                name = {1: "up4x", 2: "up2x", 4: "down2x"}.get(lvl)
+                if name:
+                    params[bb + (name, "bias")] = _id(val)
+    return params, stats
+
+
+def import_dpt_vit_depth_model(
+    sd: Dict[str, np.ndarray],
+    family: str = "vit",
+    grid_hw: Tuple[int, int] = (24, 24),
+) -> Tuple[Dict, Dict]:
+    """Standalone ViT/BEiT DPTDepthModel (MiDaS dpt_large_384 /
+    dpt_beit_*_384 layouts)."""
+    p, s = convert_vit_dpt_keys(sd, "", family, grid_hw)
+    return _nest(p), _nest(s)
+
+
 def merge_into(params: PyTree, imported: Dict, verbose: bool = True) -> PyTree:
     """Lenient merge of an imported nested dict into a flax param tree
     (strict=False semantics, reference base_model.py:30-33)."""

@@ -93,9 +93,11 @@ VIT_HOOKS = {
 
 @functools.lru_cache(maxsize=32)
 def _beit_rel_pos_index(gh: int, gw: int) -> np.ndarray:
-    """(1+N, 1+N) index into the rel-pos table incl. cls-token rows
-    (BEiT convention: 3 extra entries for cls-to-token/token-to-cls/
-    cls-to-cls)."""
+    """(1+N, 1+N) index into the rel-pos table incl. cls-token rows.
+
+    Table layout follows timm BEiT exactly so pretrained tables import
+    1:1: spatial entries 0..(2gh-1)(2gw-1)-1, then cls->token,
+    token->cls, cls->cls as the last three rows."""
     num_rel = (2 * gh - 1) * (2 * gw - 1)
     coords = np.stack(np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij"))
     flat = coords.reshape(2, -1)
@@ -105,9 +107,9 @@ def _beit_rel_pos_index(gh: int, gw: int) -> np.ndarray:
     rel[:, :, 0] *= 2 * gw - 1
     idx = np.zeros((gh * gw + 1, gh * gw + 1), np.int64)
     idx[1:, 1:] = rel.sum(-1)
-    idx[0, 0:] = num_rel + 1  # cls -> all
-    idx[0:, 0] = num_rel + 2  # all -> cls
-    idx[0, 0] = num_rel  # cls -> cls
+    idx[0, 0:] = num_rel  # cls -> token
+    idx[0:, 0] = num_rel + 1  # token -> cls
+    idx[0, 0] = num_rel + 2  # cls -> cls
     return idx
 
 

@@ -237,3 +237,97 @@ def test_v1_import_two_networks():
     np.testing.assert_allclose(
         merged["seg_net"]["head"]["conv1"]["kernel"], sh["conv1"]["kernel"]
     )
+
+
+def test_vit_dpt_import_roundtrip():
+    """ViT-family DPT importer round-trip (MiDaS dpt_large layout)."""
+    from soccdpt_tpu.core.torch_import import import_dpt_vit_depth_model
+    from soccdpt_tpu.models.backbones.vit import make_vit_backbone
+    from soccdpt_tpu.models.dpt import DPT
+    from soccdpt_tpu.models.heads import DepthHead
+    from functools import partial
+
+    factory, chans = make_vit_backbone("vittest_64")
+    model = DPT(
+        backbone=factory, in_channels=chans, head=partial(DepthHead),
+        features=32,
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    params = jax.device_get(
+        model.init(jax.random.PRNGKey(0), x)["params"]
+    )
+
+    def conv(k):
+        return np.transpose(k, (3, 2, 0, 1))
+
+    def conv_t(k):
+        return np.transpose(k, (2, 3, 0, 1))
+
+    def dense(k):
+        return np.transpose(k, (1, 0))
+
+    bb = params["backbone"]
+    sd = {
+        "pretrained.model.cls_token": bb["cls_token"],
+        "pretrained.model.pos_embed": bb["pos_embed"],
+        "pretrained.model.patch_embed.proj.weight": conv(bb["patch_embed"]["kernel"]),
+        "pretrained.model.patch_embed.proj.bias": bb["patch_embed"]["bias"],
+    }
+    for i in range(4):
+        blk = bb[f"block{i}"]
+        p = f"pretrained.model.blocks.{i}."
+        sd[p + "norm1.weight"] = blk["norm1"]["scale"]
+        sd[p + "norm1.bias"] = blk["norm1"]["bias"]
+        sd[p + "norm2.weight"] = blk["norm2"]["scale"]
+        sd[p + "norm2.bias"] = blk["norm2"]["bias"]
+        sd[p + "attn.qkv.weight"] = dense(blk["qkv"]["kernel"])
+        sd[p + "attn.qkv.bias"] = blk["qkv"]["bias"]
+        sd[p + "attn.proj.weight"] = dense(blk["proj"]["kernel"])
+        sd[p + "attn.proj.bias"] = blk["proj"]["bias"]
+        sd[p + "mlp.fc1.weight"] = dense(blk["mlp_fc1"]["kernel"])
+        sd[p + "mlp.fc1.bias"] = blk["mlp_fc1"]["bias"]
+        sd[p + "mlp.fc2.weight"] = dense(blk["mlp_fc2"]["kernel"])
+        sd[p + "mlp.fc2.bias"] = blk["mlp_fc2"]["bias"]
+    for lvl in range(1, 5):
+        ro = bb[f"readout{lvl}"]["project"]
+        sd[f"pretrained.act_postprocess{lvl}.0.project.0.weight"] = dense(ro["kernel"])
+        sd[f"pretrained.act_postprocess{lvl}.0.project.0.bias"] = ro["bias"]
+        pr = bb[f"proj{lvl}"]
+        sd[f"pretrained.act_postprocess{lvl}.3.weight"] = conv(pr["kernel"])
+        sd[f"pretrained.act_postprocess{lvl}.3.bias"] = pr["bias"]
+    sd["pretrained.act_postprocess1.4.weight"] = conv_t(bb["up4x"]["kernel"])
+    sd["pretrained.act_postprocess1.4.bias"] = bb["up4x"]["bias"]
+    sd["pretrained.act_postprocess2.4.weight"] = conv_t(bb["up2x"]["kernel"])
+    sd["pretrained.act_postprocess2.4.bias"] = bb["up2x"]["bias"]
+    sd["pretrained.act_postprocess4.4.weight"] = conv(bb["down2x"]["kernel"])
+    sd["pretrained.act_postprocess4.4.bias"] = bb["down2x"]["bias"]
+
+    p, s = import_dpt_vit_depth_model(
+        {k: np.asarray(v) for k, v in sd.items()}
+    )
+    fresh = jax.device_get(
+        model.init(jax.random.PRNGKey(9), x)["params"]
+    )
+    merged = merge_into(fresh, p, verbose=False)
+    for path, want in jax.tree_util.tree_leaves_with_path(params["backbone"]):
+        got = merged["backbone"]
+        for part in path:
+            got = got[part.key]
+        np.testing.assert_allclose(got, want, err_msg=str(path))
+
+
+def test_beit_rel_pos_table_resize():
+    from soccdpt_tpu.core.torch_import import _resize_rel_pos_table
+
+    heads = 4
+    src = (6, 6)
+    table = np.random.default_rng(0).standard_normal(
+        ((2 * 6 - 1) ** 2 + 3, heads)
+    ).astype(np.float32)
+    out = _resize_rel_pos_table(table, src, (8, 8))
+    assert out.shape == ((2 * 8 - 1) ** 2 + 3, heads)
+    # cls rows pass through untouched
+    np.testing.assert_array_equal(out[-3:], table[-3:])
+    # identity resize is exact
+    same = _resize_rel_pos_table(table, src, src)
+    np.testing.assert_allclose(same, table)
