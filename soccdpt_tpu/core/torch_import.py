@@ -91,6 +91,11 @@ def convert_swin2_dpt_keys(
                     blk = bb + (f"stage{i}_block{j}",)
                     table = {
                         "attn.qkv.weight": (blk + ("attn", "qkv", "kernel"), _dense),
+                        # Swin v1 (swinl12_384): full qkv bias + learned
+                        # rel-pos table instead of v2's q/v bias + CPB MLP
+                        "attn.qkv.bias": (blk + ("attn", "qkv", "bias"), _id),
+                        "attn.relative_position_bias_table": (
+                            blk + ("attn", "rel_pos_table"), _id),
                         "attn.q_bias": (blk + ("attn", "q_bias"), _id),
                         "attn.v_bias": (blk + ("attn", "v_bias"), _id),
                         "attn.logit_scale": (blk + ("attn", "logit_scale"), _id),

@@ -86,8 +86,13 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def set_learning_rate(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    return opt_state
+    """Functional LR update on an InjectHyperparamsState."""
+    return opt_state._replace(
+        hyperparams={
+            **opt_state.hyperparams,
+            "learning_rate": jnp.asarray(lr, jnp.float32),
+        }
+    )
 
 
 class Trainer:
