@@ -138,3 +138,19 @@ def test_grid_to_points_roundtrip():
         pts[0, :3], np.array([4, 5, 6]) / np.asarray(OCC.grid_size) * shape_m,
         rtol=1e-5,
     )
+
+
+def test_voxelize_all_nonfinite_points_gives_empty_grid():
+    points = np.full((1, 10, 3), np.nan, np.float32)
+    sem = np.ones((1, 10, 2), np.float32)
+    grid = np.asarray(points_to_occupancy_grid(points, sem, OCC, 2))
+    assert grid.sum() == 0.0
+
+
+def test_get_semantic_occupancy_zero_inv_depth_finite():
+    """inv_depth of 0 clamps to 1e-8 -> depth 1e8, never inf/NaN
+    (reference SOccDPT.py:289-293 scrubbing)."""
+    inv_depth = np.zeros((1, 8, 8), np.float32)
+    seg = np.ones((1, 1, 8, 8), np.float32)
+    _, _, points, _ = get_semantic_occupancy(inv_depth, seg, CAM, OCC, 1)
+    assert bool(np.isfinite(np.asarray(points)).all())

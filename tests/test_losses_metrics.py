@@ -131,3 +131,24 @@ def test_seg_iou():
     gt[0, 1, :, :2] = 1.0
     pred[0, 1] = 0.0  # class 1 empty pred -> IoU 0
     np.testing.assert_allclose(seg_iou(gt, pred), 0.5, atol=1e-6)
+
+
+def test_ssi_loss_empty_mask_is_zero_not_nan():
+    pred = np.abs(_rand((2, 8, 8), 20)) + 0.1
+    tgt = np.abs(_rand((2, 8, 8), 21)) + 0.1
+    mask = np.zeros_like(pred)
+    l = float(scale_and_shift_invariant_loss(pred, tgt, mask))
+    assert l == 0.0 and np.isfinite(l)
+
+
+def test_masked_bce_empty_mask_is_zero():
+    p = np.full((1, 2, 4, 4), 0.5, np.float32)
+    y = np.ones_like(p)
+    l = float(masked_bce_loss(p, y, np.zeros_like(p)))
+    assert l == 0.0
+
+
+def test_depth_metrics_empty_mask_clamped():
+    gt = np.ones((1, 4, 4))
+    m = compute_masked_errors(gt, gt, np.zeros_like(gt, dtype=bool))
+    assert m.rmse == 0.0 and m.a1 == 0.0  # reference NaN->0 clamps

@@ -64,3 +64,15 @@ def test_identity_passthrough():
     x = np.ones((1, 5, 5, 2), np.float32)
     out = resize_hw(x, (5, 5), "bicubic", False)
     assert out is x
+
+
+def test_resize_matrix_rows_are_partitions_of_unity():
+    """Interpolation weights must sum to 1 per output pixel (all modes)."""
+    from soccdpt_tpu.ops.resize import _resize_matrix
+
+    for method in ("nearest", "bilinear", "bicubic"):
+        for ac in (False, True):
+            m = _resize_matrix(17, 40, method, ac)
+            np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+            m = _resize_matrix(40, 9, method, ac)
+            np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
