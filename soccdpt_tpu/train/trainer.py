@@ -105,6 +105,11 @@ class Trainer:
     ) -> None:
         if tcfg.amp and mcfg.compute_dtype != "bfloat16":
             mcfg = dataclasses.replace(mcfg, compute_dtype="bfloat16")
+        if use_pallas:
+            # the Pallas kernels are forward-only (no custom VJP yet);
+            # training always uses the differentiable XLA path
+            print("[trainer] use_pallas is inference-only; using XLA path")
+            use_pallas = False
         self.mcfg = mcfg
         self.tcfg = tcfg
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
