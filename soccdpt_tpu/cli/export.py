@@ -19,7 +19,12 @@ def export_model(
     load: str | None = None,
     batch: int | None = None,
     use_pallas: bool = False,
+    with_points: bool = False,
 ) -> str:
+    """Serialize the jitted forward. ``with_points`` exports the
+    reference ONNX contract — (disp, seg, points) at camera resolution
+    (reference export_SOccDPT.py:96-141) — instead of the raw
+    net-resolution pair."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -62,8 +67,20 @@ def export_model(
                 "batch_stats": restored.get("batch_stats", {}),
             }
 
-    def forward(inp):
-        return model.apply(variables, inp, deterministic=True, return_raw=True)
+    if with_points:
+
+        def forward(inp):
+            inv_d, seg, points, _ = model.apply(
+                variables, inp, deterministic=True, compute_occ=False
+            )
+            return inv_d, seg, points
+
+    else:
+
+        def forward(inp):
+            return model.apply(
+                variables, inp, deterministic=True, return_raw=True
+            )
 
     if batch is None:
         # dynamic batch dimension (reference exports dynamic axis 0,
@@ -93,8 +110,21 @@ def main(argv=None):
     parser.add_argument(
         "--batch", type=int, default=None, help="fix batch (default: dynamic)"
     )
+    parser.add_argument(
+        "--with_points",
+        action="store_true",
+        help="export (disp, seg, points) at camera resolution like the "
+        "reference's ONNX contract",
+    )
     args = parser.parse_args(argv)
-    export_model(args.model_type, args.version, args.out, args.load, args.batch)
+    export_model(
+        args.model_type,
+        args.version,
+        args.out,
+        args.load,
+        args.batch,
+        with_points=args.with_points,
+    )
 
 
 if __name__ == "__main__":

@@ -65,6 +65,32 @@ class MetricWriter:
         if self._wandb:
             self._wandb.log({name: self._wandb.Image(image)}, step=step)
 
+    def log_points3d(
+        self, name: str, points_colors, step: Optional[int] = None
+    ) -> None:
+        """(N, 6) [x, y, z, r, g, b] point cloud — wandb Object3D when
+        available (reference utils/__init__.py:754-759), else a .npy
+        artifact next to the JSONL log."""
+        import numpy as np
+
+        if self._wandb:
+            self._wandb.log(
+                {
+                    name: self._wandb.Object3D(
+                        {"type": "lidar/beta", "points": points_colors}
+                    )
+                },
+                step=step,
+            )
+        elif self._jsonl:
+            import os
+
+            path = os.path.join(
+                os.path.dirname(self._jsonl.name),
+                f"{self.run_id}_{name.replace('/', '_')}_{step}.npy",
+            )
+            np.save(path, np.asarray(points_colors))
+
     def close(self) -> None:
         if self._jsonl:
             self._jsonl.close()

@@ -148,3 +148,28 @@ def test_train_occupancy_cli(bdd_tree, tmp_path, monkeypatch):
     import glob as _glob
 
     assert _glob.glob(str(tmp_path / "ckpts" / "SOccDPT_Occupancy" / "run" / "*"))
+
+
+def test_export_with_points(tmp_path):
+    """Reference ONNX contract: (disp, seg, points) outputs
+    (export_SOccDPT.py:96-141)."""
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from soccdpt_tpu.cli.export import export_model
+    from soccdpt_tpu.core.config import MODEL_TYPES, CameraConfig, ModelConfig
+
+    # small camera via a patched config entry is not available through
+    # export_model's signature; use the default-camera path on the tiny
+    # model and just verify shapes
+    out = export_model(
+        "dpt_swin2_test_64", 3, str(tmp_path / "p.stablehlo"),
+        batch=1, with_points=True,
+    )
+    with open(out, "rb") as fh:
+        exported = jax_export.deserialize(fh.read())
+    inv_d, seg, points = exported.call(jnp.zeros((1, 3, 64, 64), jnp.float32))
+    cam = ModelConfig(model_type="dpt_swin2_test_64").camera
+    assert inv_d.shape == (1, cam.height, cam.width)
+    assert seg.shape[0] == 1 and seg.shape[2:] == (cam.height, cam.width)
+    assert points.shape == (1, cam.height, cam.width, 3)
