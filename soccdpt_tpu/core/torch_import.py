@@ -463,6 +463,64 @@ def import_dpt_vit_depth_model(
     return _nest(p), _nest(s)
 
 
+def convert_hybrid_dpt_keys(
+    sd: Dict[str, np.ndarray],
+    torch_prefix: str = "",
+    grid_hw: Tuple[int, int] = (24, 24),
+) -> Tuple[Dict[Tuple[str, ...], np.ndarray], Dict[Tuple[str, ...], np.ndarray]]:
+    """MiDaS dpt_hybrid_384 layout -> flax paths: timm
+    ``vit_base_r50_s16_384`` ResNetV2 stem under
+    ``pretrained.model.patch_embed.backbone`` (PreActBottlenecks with
+    GroupNorm + weight-standardized convs; standardization happens at
+    use on both sides, so raw kernels import 1:1), the ViT trunk, and
+    the level-3/4 act_postprocess ops (levels 1/2 are the raw ResNet
+    stage outputs — identity in both implementations)."""
+    params, stats = convert_vit_dpt_keys(sd, torch_prefix, "vit", grid_hw)
+    bb = ("backbone",)
+    norm_map = {"norm1": "gn_pre", "norm2": "gn1", "norm3": "gn2"}
+    for key, val in sd.items():
+        if torch_prefix:
+            if not key.startswith(torch_prefix):
+                continue
+            key = key[len(torch_prefix):]
+        m = re.match(r"pretrained\.model\.patch_embed\.(.*)$", key)
+        if not m:
+            continue
+        sub = m.group(1)
+        if sub == "backbone.stem.conv.weight":
+            params[bb + ("stem_conv", "kernel")] = _conv(val)
+        elif sub == "proj.weight":
+            params[bb + ("patch_embed_proj", "kernel")] = _conv(val)
+        elif sub == "proj.bias":
+            params[bb + ("patch_embed_proj", "bias")] = _id(val)
+        else:
+            b = re.match(
+                r"backbone\.stages\.(\d+)\.blocks\.(\d+)\.(.*)$", sub
+            )
+            if not b:
+                continue
+            s_i, b_i, rest = int(b.group(1)), int(b.group(2)), b.group(3)
+            blk = bb + (f"stage{s_i}_block{b_i}",)
+            cm = re.match(r"conv(\d)\.weight$", rest)
+            nm = re.match(r"norm(\d)\.(weight|bias)$", rest)
+            if cm:
+                params[blk + (f"conv{cm.group(1)}", "kernel")] = _conv(val)
+            elif nm:
+                name = norm_map[f"norm{nm.group(1)}"]
+                leaf = "scale" if nm.group(2) == "weight" else "bias"
+                params[blk + (name, leaf)] = _id(val)
+            elif rest == "downsample.conv.weight":
+                params[blk + ("downsample", "kernel")] = _conv(val)
+    return params, stats
+
+
+def import_dpt_hybrid_depth_model(
+    sd: Dict[str, np.ndarray], grid_hw: Tuple[int, int] = (24, 24)
+) -> Tuple[Dict, Dict]:
+    p, s = convert_hybrid_dpt_keys(sd, "", grid_hw)
+    return _nest(p), _nest(s)
+
+
 def merge_into(params: PyTree, imported: Dict, verbose: bool = True) -> PyTree:
     """Lenient merge of an imported nested dict into a flax param tree
     (strict=False semantics, reference base_model.py:30-33)."""

@@ -331,3 +331,97 @@ def test_beit_rel_pos_table_resize():
     # identity resize is exact
     same = _resize_rel_pos_table(table, src, src)
     np.testing.assert_allclose(same, table)
+
+
+def test_hybrid_dpt_import_roundtrip():
+    """ViT-hybrid (dpt_hybrid_384 layout) importer round-trip for the
+    ResNetV2 stem + ViT trunk."""
+    from functools import partial
+
+    from soccdpt_tpu.core.torch_import import import_dpt_hybrid_depth_model
+    from soccdpt_tpu.models.backbones.vit_hybrid import make_vit_hybrid_backbone
+    from soccdpt_tpu.models.dpt import DPT
+    from soccdpt_tpu.models.heads import DepthHead
+
+    factory, chans = make_vit_hybrid_backbone("hybridtest_64")
+    model = DPT(
+        backbone=factory, in_channels=chans, head=partial(DepthHead),
+        features=32,
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    params = jax.device_get(model.init(jax.random.PRNGKey(0), x)["params"])
+
+    def conv(k):
+        return np.transpose(k, (3, 2, 0, 1))
+
+    def dense(k):
+        return np.transpose(k, (1, 0))
+
+    bb = params["backbone"]
+    sd = {
+        "pretrained.model.patch_embed.backbone.stem.conv.weight": conv(
+            bb["stem_conv"]["kernel"]
+        ),
+        "pretrained.model.patch_embed.proj.weight": conv(
+            bb["patch_embed_proj"]["kernel"]
+        ),
+        "pretrained.model.patch_embed.proj.bias": bb["patch_embed_proj"]["bias"],
+        "pretrained.model.cls_token": bb["cls_token"],
+        "pretrained.model.pos_embed": bb["pos_embed"],
+    }
+    norm_map = {"gn_pre": "norm1", "gn1": "norm2", "gn2": "norm3"}
+    for s_i in range(3):
+        blk = bb[f"stage{s_i}_block0"]
+        p = f"pretrained.model.patch_embed.backbone.stages.{s_i}.blocks.0."
+        for c in ("conv1", "conv2", "conv3"):
+            sd[p + f"{c}.weight"] = conv(blk[c]["kernel"])
+        for ours, theirs in norm_map.items():
+            sd[p + f"{theirs}.weight"] = blk[ours]["scale"]
+            sd[p + f"{theirs}.bias"] = blk[ours]["bias"]
+        if "downsample" in blk:
+            sd[p + "downsample.conv.weight"] = conv(blk["downsample"]["kernel"])
+    for i in range(2):
+        blk = bb[f"block{i}"]
+        p = f"pretrained.model.blocks.{i}."
+        sd[p + "attn.qkv.weight"] = dense(blk["qkv"]["kernel"])
+        sd[p + "attn.qkv.bias"] = blk["qkv"]["bias"]
+        sd[p + "attn.proj.weight"] = dense(blk["proj"]["kernel"])
+        sd[p + "attn.proj.bias"] = blk["proj"]["bias"]
+        sd[p + "norm1.weight"] = blk["norm1"]["scale"]
+        sd[p + "norm1.bias"] = blk["norm1"]["bias"]
+        sd[p + "norm2.weight"] = blk["norm2"]["scale"]
+        sd[p + "norm2.bias"] = blk["norm2"]["bias"]
+        sd[p + "mlp.fc1.weight"] = dense(blk["mlp_fc1"]["kernel"])
+        sd[p + "mlp.fc1.bias"] = blk["mlp_fc1"]["bias"]
+        sd[p + "mlp.fc2.weight"] = dense(blk["mlp_fc2"]["kernel"])
+        sd[p + "mlp.fc2.bias"] = blk["mlp_fc2"]["bias"]
+    for lvl in (3, 4):
+        ro = bb[f"readout{lvl}"]["project"]
+        sd[f"pretrained.act_postprocess{lvl}.0.project.0.weight"] = dense(ro["kernel"])
+        sd[f"pretrained.act_postprocess{lvl}.0.project.0.bias"] = ro["bias"]
+        pr = bb[f"proj{lvl}"]
+        sd[f"pretrained.act_postprocess{lvl}.3.weight"] = conv(pr["kernel"])
+        sd[f"pretrained.act_postprocess{lvl}.3.bias"] = pr["bias"]
+    sd["pretrained.act_postprocess4.4.weight"] = conv(bb["down2x"]["kernel"])
+    sd["pretrained.act_postprocess4.4.bias"] = bb["down2x"]["bias"]
+
+    p, s = import_dpt_hybrid_depth_model(
+        {k: np.asarray(v) for k, v in sd.items()}
+    )
+    fresh = jax.device_get(model.init(jax.random.PRNGKey(9), x)["params"])
+    merged = merge_into(fresh, p, verbose=False)
+    for name in ("stem_conv", "patch_embed_proj", "cls_token"):
+        got, want = merged["backbone"][name], bb[name]
+        if isinstance(want, dict):
+            for k in want:
+                np.testing.assert_allclose(got[k], want[k], err_msg=f"{name}.{k}")
+        else:
+            np.testing.assert_allclose(got, want, err_msg=name)
+    np.testing.assert_allclose(
+        merged["backbone"]["stage1_block0"]["conv2"]["kernel"],
+        bb["stage1_block0"]["conv2"]["kernel"],
+    )
+    np.testing.assert_allclose(
+        merged["backbone"]["block1"]["qkv"]["kernel"],
+        bb["block1"]["qkv"]["kernel"],
+    )
