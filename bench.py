@@ -1,101 +1,16 @@
-"""Benchmark: SOccDPT V3 dpt_swin2_tiny_256 inference rate on one chip.
+"""Benchmark entry point (driver-facing).
 
-Protocol: the reference measures 50 sequential forwards by wall clock
-(reference eval_SOccDPT.py:247-259 / eval_timing.py:6-29). Through the
-axon TPU tunnel, per-dispatch host latency (~40 ms RTT) would swamp the
-~1 ms device time and ``block_until_ready`` does not synchronize, so the
-50 forwards are chained *inside one jit* via ``lax.fori_loop`` with a
-data dependency between iterations; device time per forward is
-``(t_chain(N) - t_chain(1)) / (N - 1)`` on warm executables. A
-persistent compilation cache keeps recompiles out of the measurement.
-
-Baseline: 47 Hz (reference README.md:7). Prints ONE JSON line.
+Delegates to soccdpt_tpu.cli.bench; prints ONE JSON line. The compile
+cache lives at <repo>/.jax_cache so warm runs take ~3 minutes.
 """
-from __future__ import annotations
-
-import json
 import os
-import time
-from functools import partial
 
-CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.environ.setdefault(
+    "SOCCDPT_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
-
-def main() -> None:
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import jax.numpy as jnp
-    import numpy as np
-
-    from soccdpt_tpu.core.config import ModelConfig
-    from soccdpt_tpu.models.soccdpt import build_model
-
-    from __graft_entry__ import _fake_init
-
-    # Per-image rate is ~0.9-1.0 ms across batch sizes (PERF.md); batch 1
-    # is the honest comparison to the reference's sequential 47 Hz protocol.
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    # Chain enough forwards that device time (~0.6 ms each) dominates the
-    # tunnel's per-dispatch RTT jitter in the t(N) - t(1) difference.
-    n_iters = int(os.environ.get("BENCH_ITERS", "201"))
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-
-    cfg = ModelConfig(
-        model_type="dpt_swin2_tiny_256", version=3, compute_dtype="bfloat16"
-    )
-    model = build_model(cfg, use_pallas=use_pallas)
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch, 3, 256, 256)),
-        jnp.float32,
-    )
-    variables = _fake_init(model, x[:1], deterministic=True, return_raw=True)
-
-    @partial(jax.jit, static_argnums=(1,))
-    def chained(inp, n):
-        def body(i, carry):
-            inv_d, seg = model.apply(
-                variables, carry, deterministic=True, return_raw=True
-            )
-            # data dependency on BOTH outputs: without it XLA dead-code
-            # eliminates the untouched head and the bench lies
-            dep = inv_d.mean() + seg.mean().astype(inv_d.dtype)
-            return carry + (dep * 1e-9)[None, None, None, None].astype(
-                carry.dtype
-            )
-
-        return jax.lax.fori_loop(0, n, body, inp).sum()
-
-    def timed(n):
-        t0 = time.perf_counter()
-        v = float(chained(x, n))  # value fetch = real synchronization
-        return time.perf_counter() - t0, v
-
-    timed(1)  # compile n=1
-    timed(n_iters)  # compile n=N
-    t1 = min(timed(1)[0] for _ in range(3))
-    tn = min(timed(n_iters)[0] for _ in range(3))
-    per_forward = (tn - t1) / (n_iters - 1)
-
-    hz = batch / per_forward
-    baseline = 47.0
-    print(
-        json.dumps(
-            {
-                "metric": "inference_hz_per_chip_swin2_tiny_256",
-                "value": round(hz, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(hz / baseline, 2),
-                "batch": batch,
-                "ms_per_forward": round(per_forward * 1e3, 3),
-                "pallas": use_pallas,
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
-
+from soccdpt_tpu.cli.bench import main
 
 if __name__ == "__main__":
     main()

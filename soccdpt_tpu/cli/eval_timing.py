@@ -44,7 +44,7 @@ def main(argv=None):
             np.random.default_rng(0).standard_normal((args.batch, 3, h, w)),
             jnp.float32,
         )
-        from __graft_entry__ import _fake_init
+        from ..utils.fake_init import structural_init as _fake_init
 
         variables = _fake_init(model, x[:1], deterministic=True, return_raw=True)
         n_params = sum(

@@ -299,3 +299,26 @@ def test_full_state_checkpoint_resume_continues_identically():
     np.testing.assert_allclose(
         float(m1["loss"]), float(m2["loss"]), rtol=1e-6
     )
+
+
+def test_training_is_deterministic_across_instances():
+    """Same seeds -> bit-identical losses from two fresh Trainers
+    (SURVEY.md §5.2 determinism; reference train_SOccDPT.py:150-154)."""
+
+    def run():
+        t = Trainer(
+            tiny_mcfg(),
+            TrainConfig(batch_size=2, learning_rate=1e-3),
+            mesh_lib.make_mesh(shape=(1,)),
+        )
+        batch = synth_batch()
+        state = t.init_state(jax.random.PRNGKey(0), batch["image"][:1])
+        losses = []
+        rng = jax.random.PRNGKey(1)
+        for _ in range(3):
+            rng, sub = jax.random.split(rng)
+            state, m = t.train_step(state, batch, sub)
+            losses.append(float(m["loss"]))
+        return losses
+
+    np.testing.assert_array_equal(run(), run())
