@@ -173,3 +173,24 @@ def test_export_with_points(tmp_path):
     assert inv_d.shape == (1, cam.height, cam.width)
     assert seg.shape[0] == 1 and seg.shape[2:] == (cam.height, cam.width)
     assert points.shape == (1, cam.height, cam.width, 3)
+
+
+def test_all_sweep_configs_load_and_yield_trials():
+    """Every translated reference sweep JSON (reference config/*.json, 24
+    files) parses, yields at least one trial, and builds a TrainConfig."""
+    import glob
+
+    from soccdpt_tpu.core.config import SweepConfig, train_config_from_params
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "config")
+    paths = sorted(glob.glob(os.path.join(cfg_dir, "*.json")))
+    assert len(paths) >= 24, paths
+    for path in paths:
+        sweep = SweepConfig.load(path)
+        trial = next(sweep.trials(count=1, seed=0))
+        cfg = train_config_from_params(trial)
+        assert cfg.batch_size >= 1, path
+        assert 0 < cfg.learning_rate < 1, path
+        assert cfg.epochs >= 1, path
+        if "loss_weights" in trial:
+            assert len(cfg.loss_weights) == 2, path
