@@ -1,13 +1,21 @@
 """Benchmark: SOccDPT V3 dpt_swin2_tiny_256 inference rate on one chip.
 
-Protocol: the reference measures 50 sequential forwards by wall clock
-(reference eval_SOccDPT.py:247-259 / eval_timing.py:6-29). Through the
-axon TPU tunnel, per-dispatch host latency (~40 ms RTT) would swamp the
-~1 ms device time and ``block_until_ready`` does not synchronize, so the
-50 forwards are chained *inside one jit* via ``lax.fori_loop`` with a
-data dependency between iterations; device time per forward is
-``(t_chain(N) - t_chain(1)) / (N - 1)`` on warm executables. A
-persistent compilation cache keeps recompiles out of the measurement.
+Protocol: the reference measures 50 sequential forwards of ``net(x)`` by
+wall clock (reference eval_SOccDPT.py:247-259), where the forward is the
+FULL contract — net-resolution heads, bicubic/nearest upsample to camera
+resolution (1920x1080), depth inversion, and point-cloud unprojection,
+with ``compute_occ=False`` (reference SOccDPT.py:152,366-372). The
+headline metric here times exactly that contract (``return_raw=False``);
+the raw net-resolution pair (``return_raw=True``) is reported as a
+secondary field.
+
+Through the axon TPU tunnel, per-dispatch host latency (~40 ms RTT)
+would swamp the ~1 ms device time and ``block_until_ready`` does not
+synchronize, so the N forwards are chained *inside one jit* via
+``lax.fori_loop`` with a data dependency between iterations; device time
+per forward is ``(t_chain(N) - t_chain(1)) / (N - 1)`` on warm
+executables. A persistent compilation cache keeps recompiles out of the
+measurement.
 
 Baseline: 47 Hz (reference README.md:7). Prints ONE JSON line.
 """
@@ -41,8 +49,8 @@ def main() -> None:
     # Per-image rate is ~0.9-1.0 ms across batch sizes (PERF.md); batch 1
     # is the honest comparison to the reference's sequential 47 Hz protocol.
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    # Chain enough forwards that device time (~0.6 ms each) dominates the
-    # tunnel's per-dispatch RTT jitter in the t(N) - t(1) difference.
+    # Chain enough forwards that device time dominates the tunnel's
+    # per-dispatch RTT jitter in the t(N) - t(1) difference.
     n_iters = int(os.environ.get("BENCH_ITERS", "201"))
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
 
@@ -56,43 +64,64 @@ def main() -> None:
     )
     variables = _fake_init(model, x[:1], deterministic=True, return_raw=True)
 
-    @partial(jax.jit, static_argnums=(1,))
-    def chained(inp, n):
+    @partial(jax.jit, static_argnums=(1, 2))
+    def chained(inp, n, full):
         def body(i, carry):
-            inv_d, seg = model.apply(
-                variables, carry, deterministic=True, return_raw=True
-            )
-            # data dependency on BOTH outputs: without it XLA dead-code
-            # eliminates the untouched head and the bench lies
-            dep = inv_d.mean() + seg.mean().astype(inv_d.dtype)
+            if full:
+                # Full reference contract: (inv_depth, seg, points, None)
+                # at camera resolution, compute_occ=False — what the
+                # reference's 47 Hz times (eval_SOccDPT.py:247-259 ->
+                # SOccDPT.py:681-685 -> get_semantic_occupancy :264-372).
+                inv_d, seg, points, _ = model.apply(
+                    variables, carry, deterministic=True,
+                    return_raw=False, compute_occ=False,
+                )
+                dep = (
+                    inv_d.mean()
+                    + seg.mean().astype(inv_d.dtype)
+                    + points.mean().astype(inv_d.dtype)
+                )
+            else:
+                inv_d, seg = model.apply(
+                    variables, carry, deterministic=True, return_raw=True
+                )
+                # data dependency on BOTH outputs: without it XLA
+                # dead-code eliminates the untouched head and the bench lies
+                dep = inv_d.mean() + seg.mean().astype(inv_d.dtype)
             return carry + (dep * 1e-9)[None, None, None, None].astype(
                 carry.dtype
             )
 
         return jax.lax.fori_loop(0, n, body, inp).sum()
 
-    def timed(n):
-        t0 = time.perf_counter()
-        v = float(chained(x, n))  # value fetch = real synchronization
-        return time.perf_counter() - t0, v
+    def measure(full):
+        def timed(n):
+            t0 = time.perf_counter()
+            float(chained(x, n, full))  # value fetch = real synchronization
+            return time.perf_counter() - t0
 
-    timed(1)  # compile n=1
-    timed(n_iters)  # compile n=N
-    t1 = min(timed(1)[0] for _ in range(3))
-    tn = min(timed(n_iters)[0] for _ in range(3))
-    per_forward = (tn - t1) / (n_iters - 1)
+        timed(1)  # compile n=1
+        timed(n_iters)  # compile n=N
+        t1 = min(timed(1) for _ in range(3))
+        tn = min(timed(n_iters) for _ in range(3))
+        return (tn - t1) / (n_iters - 1)
 
-    hz = batch / per_forward
+    per_forward_full = measure(full=True)
+    per_forward_raw = measure(full=False)
+
+    hz = batch / per_forward_full
     baseline = 47.0
     print(
         json.dumps(
             {
-                "metric": "inference_hz_per_chip_swin2_tiny_256",
+                "metric": "inference_hz_per_chip_swin2_tiny_256_full_contract",
                 "value": round(hz, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(hz / baseline, 2),
                 "batch": batch,
-                "ms_per_forward": round(per_forward * 1e3, 3),
+                "ms_per_forward": round(per_forward_full * 1e3, 3),
+                "raw_net_hz": round(batch / per_forward_raw, 1),
+                "raw_net_ms": round(per_forward_raw * 1e3, 3),
                 "pallas": use_pallas,
                 "device": str(jax.devices()[0]),
             }

@@ -67,13 +67,14 @@ def main(argv=None):
     if args.load:
         if args.load.endswith((".pth", ".pt")):
             from ..core.torch_import import (
+                family_of,
                 import_soccdpt,
                 load_torch_state_dict,
                 merge_into,
             )
 
             sd = load_torch_state_dict(args.load)
-            p, s = import_soccdpt(sd, args.version)
+            p, s = import_soccdpt(sd, args.version, family_of(mcfg.backbone))
             variables = {
                 "params": merge_into(jax.device_get(variables["params"]), p),
                 "batch_stats": merge_into(

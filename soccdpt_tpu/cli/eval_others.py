@@ -62,11 +62,58 @@ def builtin_adapter(model_type: str, version: int = 3, load=None) -> Callable:
     return fn
 
 
+def file_adapter(scheme: str, path: str) -> Callable:
+    """Adapter for a foreign model *file* (the reference scores external
+    artifacts with shared metrics, eval_others.py:42-51):
+
+    ``stablehlo:<path>`` — a ``soccdpt-export`` artifact (serialized
+    ``jax.export``); first output is disparity.
+    ``onnx:<path>`` — an ONNX model via onnxruntime (optional dep;
+    clear error when absent). First output is disparity.
+    """
+    path = os.path.expanduser(path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    if scheme == "stablehlo":
+        import jax.numpy as jnp
+        from jax import export as jax_export
+
+        with open(path, "rb") as fh:
+            exported = jax_export.deserialize(fh.read())
+
+        def fn(images: np.ndarray) -> np.ndarray:
+            out = exported.call(jnp.asarray(images, jnp.float32))
+            disp = out[0] if isinstance(out, (tuple, list)) else out
+            return np.asarray(disp, np.float32)
+
+        return fn
+    if scheme == "onnx":
+        try:
+            import onnxruntime as ort
+        except ImportError as e:
+            raise RuntimeError(
+                "onnx adapter requires onnxruntime, which is not "
+                "installed in this environment; export with "
+                "soccdpt-export (StableHLO) and use stablehlo:<path>"
+            ) from e
+        sess = ort.InferenceSession(path)
+        name = sess.get_inputs()[0].name
+
+        def fn(images: np.ndarray) -> np.ndarray:
+            out = sess.run(None, {name: np.asarray(images, np.float32)})
+            return np.asarray(out[0], np.float32)
+
+        return fn
+    raise ValueError(f"unknown file adapter scheme {scheme!r}")
+
+
 def load_adapter(spec: str) -> Callable:
-    """'module.path:function' -> adapter callable."""
-    mod_name, fn_name = spec.split(":")
-    mod = importlib.import_module(mod_name)
-    return getattr(mod, fn_name)()
+    """'stablehlo:<path>' / 'onnx:<path>' / 'module.path:function'."""
+    head, rest = spec.split(":", 1)
+    if head in ("stablehlo", "onnx"):
+        return file_adapter(head, rest)
+    mod = importlib.import_module(head)
+    return getattr(mod, rest)()
 
 
 def evaluate_adapter(

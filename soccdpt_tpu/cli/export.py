@@ -45,13 +45,14 @@ def export_model(
     if load:
         if load.endswith((".pth", ".pt")):
             from ..core.torch_import import (
+                family_of,
                 import_soccdpt,
                 load_torch_state_dict,
                 merge_into,
             )
 
             sd = load_torch_state_dict(load)
-            p, s = import_soccdpt(sd, version)
+            p, s = import_soccdpt(sd, version, family_of(mcfg.backbone))
             variables = {
                 "params": merge_into(jax.device_get(variables["params"]), p),
                 "batch_stats": merge_into(

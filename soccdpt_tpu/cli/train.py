@@ -84,7 +84,12 @@ def train_one(
 
     from ..core.checkpoint import checkpoint_dir, save_checkpoint
     from ..core.config import ModelConfig
-    from ..data.loader import iterate_batches, prefetch, split_train_val
+    from ..data.loader import (
+        device_prefetch,
+        iterate_batches,
+        prefetch,
+        split_train_val,
+    )
     from ..parallel import mesh as mesh_lib
     from ..train.evaluate import evaluate_depth_seg, make_eval_forward
     from ..train.trainer import Trainer
@@ -119,6 +124,7 @@ def train_one(
     )
     if tcfg.load:
         from ..core.torch_import import (
+            family_of,
             import_soccdpt,
             load_torch_state_dict,
             merge_into,
@@ -126,7 +132,7 @@ def train_one(
 
         if tcfg.load.endswith((".pth", ".pt")):
             sd = load_torch_state_dict(tcfg.load)
-            p, s = import_soccdpt(sd, version)
+            p, s = import_soccdpt(sd, version, family_of(mcfg.backbone))
             state = dataclasses.replace(
                 state,
                 params=merge_into(jax.device_get(state.params), p),
@@ -150,16 +156,21 @@ def train_one(
     last_eval: Dict[str, float] = {}
 
     for epoch in range(1, tcfg.epochs + 1):
-        batches = prefetch(
-            iterate_batches(
-                train_set,
-                tcfg.batch_size,
-                shuffle=True,
-                seed=tcfg.seed,
-                epoch=epoch,
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
-            )
+        # host-thread prefetch (decode overlaps compute) + device
+        # double-buffering (batch N+1's transfer overlaps step N)
+        batches = device_prefetch(
+            prefetch(
+                iterate_batches(
+                    train_set,
+                    tcfg.batch_size,
+                    shuffle=True,
+                    seed=tcfg.seed,
+                    epoch=epoch,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count(),
+                )
+            ),
+            trainer.shard_batch,
         )
         for batch in batches:
             rng, sub = jax.random.split(rng)

@@ -194,6 +194,11 @@ class TrainConfig:
     weight_decay: float = 0.0
     encoder_percentage: float = 0.5
     patchwise_percentage: float = 1.0
+    # "inplace" = reference PatchWiseInplace (sequential patch steps,
+    # what the reference trains with); "snapshot" = reference PatchWise
+    # (every patch trained from the same start weights, batch-applied
+    # at the end — reference patchwise_training/__init__.py:9-145)
+    patchwise_mode: str = "inplace"
     loss_weights: Tuple[float, float] = (0.5, 0.5)  # (depth, seg)
     dataset_percentage: float = 1.0
     compute_scale_and_shift: bool = True
@@ -207,6 +212,10 @@ class TrainConfig:
     project_name: str = "SOccDPT"
     seed: int = 0
     # TPU-specific additions (no reference equivalent):
+    # subsample GT tensors k-fold per axis on the host before transfer
+    # (k^2 fewer wire bytes; SSI/BCE statistics preserved — see
+    # Trainer.shard_batch). 1 = reference-exact full-resolution GT.
+    gt_downscale: int = 1
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel axis sizes
     mesh_axes: Tuple[str, ...] = ("data",)
     remat_backbone: bool = False  # jax.checkpoint on backbone stages

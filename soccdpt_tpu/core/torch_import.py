@@ -151,6 +151,25 @@ def convert_swin2_dpt_keys(
             )
             put(path, _conv(val) if wb == "weight" else _id(val))
             continue
+        # RCU BatchNorm (bn=True decoders, e.g. DPTSegmentationModel's
+        # use_bn=True refinenets — reference blocks.py:383-385, dpt.py:240)
+        m = re.match(
+            r"scratch\.refinenet(\d)\.resConfUnit(\d)\.bn(\d)\."
+            r"(weight|bias|running_mean|running_var)$",
+            key,
+        )
+        if m:
+            rn, rcu, bn, leaf = m.groups()
+            base = (f"refinenet{rn}", f"res_conv_unit{rcu}", f"bn{bn}")
+            if leaf == "weight":
+                put(base + ("scale",), _id(val))
+            elif leaf == "bias":
+                put(base + ("bias",), _id(val))
+            elif leaf == "running_mean":
+                stats[base + ("mean",)] = _id(val)
+            else:
+                stats[base + ("var",)] = _id(val)
+            continue
         m = re.match(r"scratch\.refinenet(\d)\.out_conv\.(weight|bias)$", key)
         if m:
             rn, wb = m.groups()
@@ -213,12 +232,50 @@ def _nest(flat: Dict[Tuple[str, ...], np.ndarray]) -> Dict:
     return out
 
 
+def family_of(backbone: str) -> str:
+    """Backbone name (reference encoder names, blocks.py:31-136) ->
+    importer family key."""
+    if "rn50" in backbone or "hybrid" in backbone:
+        return "hybrid"
+    if backbone.startswith(("vit", "beit")):
+        return "vit"
+    if backbone.startswith("levit"):
+        return "levit"
+    if "next_vit" in backbone or backbone.startswith("nextvit"):
+        return "next_vit"
+    return "swin"  # swin v1 and v2 share a converter
+
+
+def convert_backbone_dpt_keys(
+    sd: Dict[str, np.ndarray],
+    torch_prefix: str = "",
+    family: str = "swin",
+    grid_hw: Tuple[int, int] = (24, 24),
+    depths: Tuple[int, ...] = (4, 4, 4),
+) -> Tuple[Dict[Tuple[str, ...], np.ndarray], Dict[Tuple[str, ...], np.ndarray]]:
+    """Family-dispatching DPT converter (reference loader.py:37-124
+    dispatches 11 model types; each family has its own timm layout)."""
+    if family == "swin":
+        return convert_swin2_dpt_keys(sd, torch_prefix)
+    if family == "vit":
+        return convert_vit_dpt_keys(sd, torch_prefix, "vit", grid_hw)
+    if family == "hybrid":
+        return convert_hybrid_dpt_keys(sd, torch_prefix, grid_hw)
+    if family == "levit":
+        return convert_levit_dpt_keys(sd, torch_prefix, depths)
+    if family == "next_vit":
+        return convert_next_vit_dpt_keys(sd, torch_prefix)
+    raise ValueError(f"unknown importer family {family!r}")
+
+
 def import_soccdpt_v3(
-    sd: Dict[str, np.ndarray]
+    sd: Dict[str, np.ndarray], family: str = "swin"
 ) -> Tuple[Dict, Dict]:
     """Full SOccDPT_V3 checkpoint -> (params, batch_stats) nested dicts
     matching models.soccdpt.SOccDPT_V3's tree."""
-    dpt_p, dpt_s = convert_swin2_dpt_keys(sd, torch_prefix="depth_net.")
+    dpt_p, dpt_s = convert_backbone_dpt_keys(
+        sd, torch_prefix="depth_net.", family=family
+    )
     seg_p, seg_s = convert_seg_head_keys(sd, torch_prefix="seg_head.")
     flat_p = {("depth_net",) + k: v for k, v in dpt_p.items()}
     flat_p.update({("seg_head",) + k: v for k, v in seg_p.items()})
@@ -268,12 +325,14 @@ def convert_seg_output_conv_keys(
     return params, stats
 
 
-def import_soccdpt_v1(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+def import_soccdpt_v1(
+    sd: Dict[str, np.ndarray], family: str = "swin"
+) -> Tuple[Dict, Dict]:
     """SOccDPT_V1: two full DPTs (reference SOccDPT.py:470-523) —
     ``depth_net.*`` (depth head at scratch.output_conv) and ``seg_net.*``
     (seg head at scratch.output_conv)."""
-    d_p, d_s = convert_swin2_dpt_keys(sd, torch_prefix="depth_net.")
-    s_p, s_s = convert_swin2_dpt_keys(sd, torch_prefix="seg_net.")
+    d_p, d_s = convert_backbone_dpt_keys(sd, "depth_net.", family)
+    s_p, s_s = convert_backbone_dpt_keys(sd, "seg_net.", family)
     # the seg DPT's output_conv is a seg head, not the depth head the
     # generic converter assumed — override those leaves
     for k in [k for k in s_p if k[0] == "head"]:
@@ -289,12 +348,14 @@ def import_soccdpt_v1(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     return _nest(flat_p), _nest(flat_s)
 
 
-def import_soccdpt_v2(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+def import_soccdpt_v2(
+    sd: Dict[str, np.ndarray], family: str = "swin"
+) -> Tuple[Dict, Dict]:
     """SOccDPT_V2 (reference SOccDPT.py:526-623): shared trunk under
     ``pretrained.*`` (identity head), plus ``depth_head.{0,2,4}`` and the
     seg head (saved as ``seg_ead`` due to the reference's typo; both
     spellings accepted)."""
-    t_p, t_s = convert_swin2_dpt_keys(sd, torch_prefix="pretrained.")
+    t_p, t_s = convert_backbone_dpt_keys(sd, "pretrained.", family)
     flat_p = {("pretrained",) + k: v for k, v in t_p.items()}
     flat_s = {("pretrained",) + k: v for k, v in t_s.items()}
 
@@ -315,10 +376,12 @@ def import_soccdpt_v2(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     return _nest(flat_p), _nest(flat_s)
 
 
-def import_soccdpt(sd: Dict[str, np.ndarray], version: int) -> Tuple[Dict, Dict]:
+def import_soccdpt(
+    sd: Dict[str, np.ndarray], version: int, family: str = "swin"
+) -> Tuple[Dict, Dict]:
     return {1: import_soccdpt_v1, 2: import_soccdpt_v2, 3: import_soccdpt_v3}[
         version
-    ](sd)
+    ](sd, family)
 
 
 # ---------------------------------------------------------------------------
@@ -518,6 +581,201 @@ def import_dpt_hybrid_depth_model(
     sd: Dict[str, np.ndarray], grid_hw: Tuple[int, int] = (24, 24)
 ) -> Tuple[Dict, Dict]:
     p, s = convert_hybrid_dpt_keys(sd, "", grid_hw)
+    return _nest(p), _nest(s)
+
+
+# ---------------------------------------------------------------------------
+# LeViT family (MiDaS dpt_levit_224 layout, timm 0.6.12 LeViT)
+# ---------------------------------------------------------------------------
+
+
+def _bn_leaf(base, leaf, val, params, stats):
+    """torch BatchNorm leaf -> flax params/batch_stats entries."""
+    if leaf == "weight":
+        params[base + ("scale",)] = _id(val)
+    elif leaf == "bias":
+        params[base + ("bias",)] = _id(val)
+    elif leaf == "running_mean":
+        stats[base + ("mean",)] = _id(val)
+    elif leaf == "running_var":
+        stats[base + ("var",)] = _id(val)
+
+
+def _levit_block_names(depths: Tuple[int, ...] = (4, 4, 4)) -> Dict[int, Tuple[str, str]]:
+    """timm ``model.blocks`` flat index -> (flax module name, kind).
+
+    timm's block list per stage: depth x [Residual(Attention),
+    Residual(FFN)], then between stages [AttentionSubsample,
+    Residual(FFN)] (the hook indices of reference dpt.py:85 count this
+    same flat sequence)."""
+    names: Dict[int, Tuple[str, str]] = {}
+    blk = 0
+    for s, depth in enumerate(depths):
+        for d in range(depth):
+            names[blk] = (f"s{s}_attn{d}", "attn")
+            blk += 1
+            names[blk] = (f"s{s}_mlp{d}", "mlp")
+            blk += 1
+        if s < len(depths) - 1:
+            names[blk] = (f"downsample{s}_attn", "sub")
+            blk += 1
+            names[blk] = (f"downsample{s}_mlp", "mlp")
+            blk += 1
+    return names
+
+
+def convert_levit_dpt_keys(
+    sd: Dict[str, np.ndarray],
+    torch_prefix: str = "",
+    depths: Tuple[int, ...] = (4, 4, 4),
+) -> Tuple[Dict[Tuple[str, ...], np.ndarray], Dict[Tuple[str, ...], np.ndarray]]:
+    """MiDaS dpt_levit_224 layout -> flax paths.
+
+    Backbone under ``pretrained.model.*`` (timm 0.6.12 LeViT:
+    ``patch_embed.{0,2,4,6}`` ConvNorm stem, ``blocks.N`` flat sequence
+    of Linear_BN modules with ``c``/``bn`` children, per-head fused
+    ``qkv`` / subsample ``kv``+``q``, ``attention_biases`` tables whose
+    first-seen offset order equals this repo's ``|dh|*gw+|dw|`` index);
+    the reference's ConvTranspose upsampling head under
+    ``scratch.stem_transpose`` (reference backbones/levit.py:60-132).
+    Scratch/refinenets/output head via the shared converter. Note: the
+    flax StemTranspose uses SAME padding (even output sizes) where torch
+    pad=1 yields 2H-1; kernels import 1:1, edge behavior is a documented
+    divergence.
+    """
+    params, stats = convert_swin2_dpt_keys(sd, torch_prefix=torch_prefix)
+    params = {k: v for k, v in params.items() if k[0] != "backbone"}
+    names = _levit_block_names(depths)
+    bb = ("backbone",)
+    for key, val in sd.items():
+        if torch_prefix:
+            if not key.startswith(torch_prefix):
+                continue
+            key = key[len(torch_prefix):]
+
+        m = re.match(r"pretrained\.model\.(.*)$", key)
+        if m:
+            sub = m.group(1)
+            pe = re.match(r"patch_embed\.(\d)\.(c|bn)\.(.+)$", sub)
+            if pe:
+                idx, mod, leaf = int(pe.group(1)) // 2, pe.group(2), pe.group(3)
+                stem = bb + (f"stem{idx}",)
+                if mod == "c" and leaf == "weight":
+                    params[stem + ("conv", "kernel")] = _conv(val)
+                elif mod == "bn":
+                    _bn_leaf(stem + ("bn",), leaf, val, params, stats)
+                continue
+            b = re.match(r"blocks\.(\d+)\.(.*)$", sub)
+            if not b:
+                continue
+            n, rest = int(b.group(1)), b.group(2)
+            if n not in names:
+                continue
+            name, kind = names[n]
+            blk = bb + (name,)
+            if kind == "mlp":
+                mm = re.match(r"m\.(0|2)\.(c|bn)\.(.+)$", rest)
+                if mm:
+                    fc = "fc1" if mm.group(1) == "0" else "fc2"
+                    if mm.group(2) == "c" and mm.group(3) == "weight":
+                        params[blk + (fc, "linear", "kernel")] = _dense(val)
+                    elif mm.group(2) == "bn":
+                        _bn_leaf(blk + (fc, "bn"), mm.group(3), val, params, stats)
+            else:
+                # attn blocks are Residual-wrapped ("m." prefix); the
+                # AttentionSubsample between stages is not.
+                if kind == "attn":
+                    if not rest.startswith("m."):
+                        continue
+                    r = rest[2:]
+                else:
+                    r = rest
+                if r == "attention_biases":
+                    params[blk + ("attn_bias",)] = _id(val)
+                    continue
+                am = re.match(r"(qkv|kv|proj\.1|q\.1)\.(c|bn)\.(.+)$", r)
+                if am:
+                    mod = {"qkv": "qkv", "kv": "kv", "proj.1": "proj", "q.1": "q"}[
+                        am.group(1)
+                    ]
+                    if am.group(2) == "c" and am.group(3) == "weight":
+                        params[blk + (mod, "linear", "kernel")] = _dense(val)
+                    elif am.group(2) == "bn":
+                        _bn_leaf(
+                            blk + (mod, "bn"), am.group(3), val, params, stats
+                        )
+            continue
+
+        st = re.match(r"scratch\.stem_transpose\.(0|2)\.(c|bn)\.(.+)$", key)
+        if st:
+            idx = "1" if st.group(1) == "0" else "2"
+            base = ("stem_transpose",)
+            if st.group(2) == "c" and st.group(3) == "weight":
+                params[base + (f"up{idx}", "kernel")] = _conv_t(val)
+            elif st.group(2) == "bn":
+                _bn_leaf(base + (f"bn{idx}",), st.group(3), val, params, stats)
+    return params, stats
+
+
+def import_dpt_levit_model(
+    sd: Dict[str, np.ndarray], depths: Tuple[int, ...] = (4, 4, 4)
+) -> Tuple[Dict, Dict]:
+    """Standalone LeViT DPTDepthModel (MiDaS dpt_levit_224 layout)."""
+    p, s = convert_levit_dpt_keys(sd, "", depths)
+    return _nest(p), _nest(s)
+
+
+# ---------------------------------------------------------------------------
+# Next-ViT family (MiDaS dpt_next_vit_large_384 layout, official bytedance
+# module names — the flax backbone mirrors them 1:1)
+# ---------------------------------------------------------------------------
+
+
+def convert_next_vit_dpt_keys(
+    sd: Dict[str, np.ndarray], torch_prefix: str = ""
+) -> Tuple[Dict[Tuple[str, ...], np.ndarray], Dict[Tuple[str, ...], np.ndarray]]:
+    """Official Next-ViT layout under ``pretrained.model.*``
+    (``stem.{0..3}`` ConvBNReLU, ``features.{N}`` NCB/NTB blocks whose
+    child names — patch_embed / mhca.group_conv3x3 / mhca.projection /
+    e_mhsa.{q,k,v,proj} / norm(1|2) / mlp.conv(1|2) — the flax backbone
+    reuses verbatim) -> flax paths. Leaf kind is dispatched on tensor
+    rank: 4-D weight = conv, 2-D = linear, 1-D = BN scale. The final
+    classifier ``norm``/``head`` keys are ignored. Scratch/refinenets/
+    output head via the shared converter."""
+    params, stats = convert_swin2_dpt_keys(sd, torch_prefix=torch_prefix)
+    params = {k: v for k, v in params.items() if k[0] != "backbone"}
+    for key, val in sd.items():
+        if torch_prefix:
+            if not key.startswith(torch_prefix):
+                continue
+            key = key[len(torch_prefix):]
+        m = re.match(r"pretrained\.model\.(stem|features)\.(\d+)\.(.*)$", key)
+        if not m:
+            continue
+        root, n, rest = m.groups()
+        parts = rest.split(".")
+        leaf, mods = parts[-1], tuple(parts[:-1])
+        path = ("backbone", f"{root}{n}") + mods
+        val = np.asarray(val)
+        if leaf == "weight":
+            if val.ndim == 4:
+                params[path + ("kernel",)] = _conv(val)
+            elif val.ndim == 2:
+                params[path + ("kernel",)] = _dense(val)
+            else:
+                params[path + ("scale",)] = _id(val)
+        elif leaf == "bias":
+            params[path + ("bias",)] = _id(val)
+        elif leaf == "running_mean":
+            stats[path + ("mean",)] = _id(val)
+        elif leaf == "running_var":
+            stats[path + ("var",)] = _id(val)
+    return params, stats
+
+
+def import_dpt_next_vit_model(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Standalone Next-ViT DPTDepthModel (MiDaS dpt_next_vit_large_384)."""
+    p, s = convert_next_vit_dpt_keys(sd, "")
     return _nest(p), _nest(s)
 
 

@@ -90,6 +90,26 @@ def iterate_batches(
         yield collate([dataset[int(i)] for i in idx])
 
 
+def device_prefetch(iterator: Iterator, put_fn, depth: int = 2) -> Iterator:
+    """Keep ``depth`` device batches in flight.
+
+    ``jax.device_put`` is asynchronous: issuing batch N+1's transfer
+    before batch N is consumed overlaps wire time with compute. The
+    train step is transfer-bound through tunneled devices (PERF.md
+    "Training step"), so this double-buffering hides most of the
+    host->device copy behind the previous step.
+    """
+    import collections
+
+    q: "collections.deque" = collections.deque()
+    for item in iterator:
+        q.append(put_fn(item))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def prefetch(
     iterator: Iterator, size: int = 2
 ) -> Iterator:

@@ -106,21 +106,29 @@ class LeViTAttention(nn.Module):
         vd = int(self.attn_ratio * kd)
         B, N, _ = x.shape
 
-        kv = BNDense(H * (kd + vd), dtype=self.dtype, name="kv")(
-            x, deterministic
-        )
-        k, v = jnp.split(kv.reshape(B, N, H, kd + vd), [kd], axis=-1)
-
         if self.q_stride > 1:
+            # timm AttentionSubsample: separate kv + strided q
+            # (per-head column layout [k | v] / [q]).
+            kv = BNDense(H * (kd + vd), dtype=self.dtype, name="kv")(
+                x, deterministic
+            )
+            k, v = jnp.split(kv.reshape(B, N, H, kd + vd), [kd], axis=-1)
             qh, qw = -(-gh // self.q_stride), -(-gw // self.q_stride)
             xq = x.reshape(B, gh, gw, -1)[
                 :, :: self.q_stride, :: self.q_stride
             ].reshape(B, qh * qw, -1)
+            q = BNDense(H * kd, dtype=self.dtype, name="q")(xq, deterministic)
+            q = q.reshape(B, qh * qw, H, kd)
         else:
+            # timm Attention: ONE fused qkv matmul (per-head column
+            # layout [q | k | v]) — one large MXU matmul instead of two.
             qh, qw = gh, gw
-            xq = x
-        q = BNDense(H * kd, dtype=self.dtype, name="q")(xq, deterministic)
-        q = q.reshape(B, qh * qw, H, kd)
+            qkv = BNDense(H * (2 * kd + vd), dtype=self.dtype, name="qkv")(
+                x, deterministic
+            )
+            q, k, v = jnp.split(
+                qkv.reshape(B, N, H, 2 * kd + vd), [kd, 2 * kd], axis=-1
+            )
 
         attn = jnp.einsum(
             "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
@@ -132,7 +140,10 @@ class LeViTAttention(nn.Module):
         idx = jnp.asarray(
             _attn_bias_index(gh, gw, qh, qw, self.q_stride).reshape(-1)
         )
-        bias = bias_table[:, idx].reshape(H, qh * qw, gh * gw)
+        # jnp.asarray first: params may arrive as host numpy arrays
+        # (structural_init) and numpy fancy-indexing breaks under an
+        # inner trace (fori_loop body) where the index is a tracer.
+        bias = jnp.asarray(bias_table)[:, idx].reshape(H, qh * qw, gh * gw)
         attn = attn + bias.astype(jnp.float32)[None]
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
 

@@ -1,60 +1,130 @@
 """Next-ViT-Large backbone (dpt_next_vit_large_384), flax-native.
 
 Replaces the reference's timm wrapper with hooks on ``model.features[i]``
-(reference backbones/next_vit.py:11-43; hooks [2, 6, 36, 39] =
-last block of each stage, dpt.py:79-84; channels [96, 256, 512, 1024],
-dpt.py:91-94). Next-ViT interleaves convolutional NCB blocks
-(multi-head conv attention: grouped 3x3 conv + BN + projection,
-residual, then a ConvFFN) with NTB transformer blocks at stage ends
-(efficient global MHSA on spatially-reduced tokens fused with a local
-MHCA branch). Stage depths for the Large variant: (3, 4, 30, 3) over a
-flat ``features`` list, strides 4/8/16/32.
+(reference backbones/next_vit.py:11-43; hooks [2, 6, 36, 39] = last
+block of each stage, dpt.py:79-84; hook channels [96, 256, 512, 1024],
+dpt.py:91-94). The block structure follows the official bytedance
+Next-ViT spec exactly so torch checkpoints import 1:1
+(core/torch_import.convert_next_vit_dpt_keys):
+
+* 4-conv stem (strides 2,1,1,2 -> /4);
+* per-stage block plans ``[NCB]*k + [NTB]`` with the official channel
+  progression (stage 2 of Large repeats [384,384,384,384,512] x 6);
+* NCB = PatchEmbed -> +MHCA -> +Mlp(BN-normed input); MHCA = grouped
+  3x3 conv (head groups) + BN/ReLU + 1x1 projection;
+* NTB = PatchEmbed -> +E_MHSA(BN-normed) -> 1x1 projection branch
+  +MHCA -> channel concat -> +Mlp(BN-normed); E_MHSA is global
+  attention whose keys/values are average-pooled over the *flattened*
+  token sequence (kernel sr_ratio^2, the official 1-D pooling) with a
+  BatchNorm after pooling;
+* all convs are BN-normalized (eps 1e-5), activations ReLU.
+
+Everything runs NHWC; module names mirror the torch attribute names so
+the weight importer is mechanical.
 """
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
 
 
+def _make_divisible(v: float, divisor: int = 32) -> int:
+    """Official mobilenet rounding used by Next-ViT for hidden/branch
+    widths."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 @dataclass(frozen=True)
 class NextViTConfig:
     stem_chs: Tuple[int, int, int] = (64, 32, 64)
-    stage_chs: Tuple[int, int, int, int] = (96, 256, 512, 1024)
     depths: Tuple[int, int, int, int] = (3, 4, 30, 3)
-    num_heads: int = 32  # head dim for MHSA
-    sr_ratios: Tuple[int, int, int, int] = (8, 4, 2, 1)  # MHSA reduction
+    strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
+    sr_ratios: Tuple[int, int, int, int] = (8, 4, 2, 1)
+    head_dim: int = 32
+    mix_block_ratio: float = 0.75
+    divisor: int = 32  # _make_divisible granularity (official: 32)
+    drop_path_rate: float = 0.0
+    # Per-stage output-channel plans; None -> official Large rule.
+    stage_out_channels: Optional[Tuple[Tuple[int, ...], ...]] = None
+
+    def plan(self) -> List[Tuple[str, int, int, int, float]]:
+        """Flat block plan: (type, out_ch, stride, sr_ratio, dpr)."""
+        if self.stage_out_channels is not None:
+            out_chs = [list(s) for s in self.stage_out_channels]
+        else:
+            d = self.depths
+            out_chs = [
+                [96] * d[0],
+                [192] * (d[1] - 1) + [256],
+                [384, 384, 384, 384, 512] * (d[2] // 5),
+                [768] * (d[3] - 1) + [1024],
+            ]
+        types = [
+            ["ncb"] * self.depths[0],
+            ["ncb"] * (self.depths[1] - 1) + ["ntb"],
+            ["ncb", "ncb", "ncb", "ncb", "ntb"] * (self.depths[2] // 5),
+            ["ncb"] * (self.depths[3] - 1) + ["ntb"],
+        ]
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
+        plan = []
+        i = 0
+        for s in range(4):
+            for b in range(self.depths[s]):
+                stride = 2 if (self.strides[s] == 2 and b == 0) else 1
+                plan.append(
+                    (types[s][b], out_chs[s][b], stride, self.sr_ratios[s],
+                     float(dpr[i]))
+                )
+                i += 1
+        return plan
 
 
 NEXT_VIT_CONFIGS = {
     "next_vit_large_6m": NextViTConfig(),
     "nextvittest_64": NextViTConfig(
-        stem_chs=(16, 8, 16),
-        stage_chs=(16, 32, 64, 128),
-        depths=(1, 1, 2, 1),
-        num_heads=8,
-        sr_ratios=(4, 2, 1, 1),
+        stem_chs=(8, 4, 8),
+        depths=(1, 2, 5, 2),
+        sr_ratios=(2, 2, 1, 1),
+        head_dim=8,
+        divisor=8,
+        stage_out_channels=((16,), (24, 32), (24, 24, 24, 24, 32), (48, 64)),
     ),
 }
 
 NEXT_VIT_HOOKS = {
     "next_vit_large_6m": (2, 6, 36, 39),
-    "nextvittest_64": (0, 1, 3, 4),
+    "nextvittest_64": (0, 2, 7, 9),
 }
 
 
+def _drop_path(x, rate, deterministic, rng):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / keep
+
+
 class ConvBNReLU(nn.Module):
+    """conv3x3 (optionally grouped/strided, no bias) + BN + ReLU
+    (official ConvBNReLU: children ``conv``/``norm``)."""
+
     features: int
     kernel: int = 3
     stride: int = 1
     groups: int = 1
-    relu: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -71,14 +141,40 @@ class ConvBNReLU(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=deterministic, momentum=0.9,
-            dtype=jnp.float32, name="bn",
+            dtype=jnp.float32, name="norm",
         )(x).astype(self.dtype)
-        return nn.relu(x) if self.relu else x
+        return nn.relu(x)
+
+
+class PatchEmbed(nn.Module):
+    """Official PatchEmbed: stride 2 -> 2x2 avgpool + 1x1 conv + BN;
+    channel change -> 1x1 conv + BN; else identity (no params)."""
+
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.stride == 1 and x.shape[-1] == self.features:
+            return x
+        if self.stride == 2:
+            assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, x.shape
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Conv(
+            self.features, (1, 1), use_bias=False, dtype=self.dtype,
+            name="conv",
+        )(x)
+        return nn.BatchNorm(
+            use_running_average=deterministic, momentum=0.9,
+            dtype=jnp.float32, name="norm",
+        )(x).astype(self.dtype)
 
 
 class MHCA(nn.Module):
-    """Multi-head conv attention: grouped 3x3 conv mixing within head
-    groups + 1x1 projection."""
+    """Multi-head conv attention: grouped 3x3 conv (one group per head)
+    + BN + ReLU + 1x1 projection (official: ``group_conv3x3``/``norm``/
+    ``projection``)."""
 
     features: int
     head_dim: int = 32
@@ -87,125 +183,200 @@ class MHCA(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         groups = max(self.features // self.head_dim, 1)
-        h = ConvBNReLU(
-            self.features, 3, 1, groups=groups, dtype=self.dtype, name="group_conv"
-        )(x, deterministic)
-        return ConvBNReLU(
-            self.features, 1, relu=False, dtype=self.dtype, name="proj"
-        )(h, deterministic)
+        h = nn.Conv(
+            self.features, (3, 3), padding=1, feature_group_count=groups,
+            use_bias=False, dtype=self.dtype, name="group_conv3x3",
+        )(x)
+        h = nn.BatchNorm(
+            use_running_average=deterministic, momentum=0.9,
+            dtype=jnp.float32, name="norm",
+        )(h).astype(self.dtype)
+        h = nn.relu(h)
+        return nn.Conv(
+            self.features, (1, 1), use_bias=False, dtype=self.dtype,
+            name="projection",
+        )(h)
 
 
-class ConvFFN(nn.Module):
+class Mlp(nn.Module):
+    """1x1 conv MLP with bias (official Mlp: ``conv1``/``conv2``);
+    hidden width rounded by _make_divisible."""
+
     features: int
-    ratio: float = 3.0
+    mlp_ratio: float
+    divisor: int = 32
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        hidden = int(self.features * self.ratio)
-        h = ConvBNReLU(hidden, 1, dtype=self.dtype, name="fc1")(x, deterministic)
-        return ConvBNReLU(
-            self.features, 1, relu=False, dtype=self.dtype, name="fc2"
-        )(h, deterministic)
+        hidden = _make_divisible(self.features * self.mlp_ratio, self.divisor)
+        h = nn.Conv(hidden, (1, 1), dtype=self.dtype, name="conv1")(x)
+        h = nn.relu(h)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv2")(h)
 
 
 class NCB(nn.Module):
-    """Next Convolution Block: MHCA + ConvFFN, each residual."""
+    """Next Convolution Block (official NCB): PatchEmbed -> +MHCA ->
+    +Mlp(BN(x))."""
 
     features: int
     stride: int = 1
+    head_dim: int = 32
+    mlp_ratio: float = 3.0
+    divisor: int = 32
+    drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        if self.stride > 1 or x.shape[-1] != self.features:
-            x = ConvBNReLU(
-                self.features, 3, self.stride, relu=False, dtype=self.dtype,
-                name="patch_embed",
-            )(x, deterministic)
-        x = x + MHCA(self.features, dtype=self.dtype, name="mhca")(
+        x = PatchEmbed(
+            self.features, self.stride, dtype=self.dtype, name="patch_embed"
+        )(x, deterministic)
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        h = MHCA(self.features, self.head_dim, dtype=self.dtype, name="mhca")(
             x, deterministic
         )
-        return x + ConvFFN(self.features, dtype=self.dtype, name="ffn")(
-            x, deterministic
+        x = x + _drop_path(h, self.drop_path_rate, deterministic, rng)
+        out = nn.BatchNorm(
+            use_running_average=deterministic, momentum=0.9,
+            dtype=jnp.float32, name="norm",
+        )(x).astype(self.dtype)
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
         )
+        h = Mlp(
+            self.features, self.mlp_ratio, self.divisor, dtype=self.dtype,
+            name="mlp",
+        )(out, deterministic)
+        return x + _drop_path(h, self.drop_path_rate, deterministic, rng)
 
 
-class EfficientMHSA(nn.Module):
-    """Global attention with spatial-reduction keys/values."""
+class E_MHSA(nn.Module):
+    """Efficient global MHSA (official E_MHSA): separate q/k/v Linears;
+    keys/values average-pooled over the *flattened* token sequence with
+    kernel sr_ratio^2 and BN-normalized. Input/output (B, N, C)."""
 
     features: int
-    head_dim: int
-    sr_ratio: int
+    head_dim: int = 32
+    sr_ratio: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        B, H, W, C = x.shape
+        B, N, C = x.shape
         heads = max(C // self.head_dim, 1)
         hd = C // heads
-        q = nn.Dense(C, dtype=self.dtype, name="q")(x).reshape(B, H * W, heads, hd)
+        q = nn.Dense(C, dtype=self.dtype, name="q")(x).reshape(B, N, heads, hd)
         kv_in = x
         if self.sr_ratio > 1:
-            kv_in = nn.avg_pool(
-                x,
-                (self.sr_ratio, self.sr_ratio),
-                strides=(self.sr_ratio, self.sr_ratio),
-            )
-        kh, kw = kv_in.shape[1], kv_in.shape[2]
-        kv = nn.Dense(2 * C, dtype=self.dtype, name="kv")(kv_in).reshape(
-            B, kh * kw, 2, heads, hd
+            r2 = self.sr_ratio**2
+            assert N % r2 == 0, (N, r2)
+            kv_in = x.reshape(B, N // r2, r2, C).mean(axis=2)
+            kv_in = nn.BatchNorm(
+                use_running_average=deterministic, momentum=0.9,
+                dtype=jnp.float32, name="norm",
+            )(kv_in).astype(self.dtype)
+        M = kv_in.shape[1]
+        k = nn.Dense(C, dtype=self.dtype, name="k")(kv_in).reshape(
+            B, M, heads, hd
         )
-        k, v = kv[:, :, 0], kv[:, :, 1]
+        v = nn.Dense(C, dtype=self.dtype, name="v")(kv_in).reshape(
+            B, M, heads, hd
+        )
         attn = jnp.einsum(
             "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) * (hd**-0.5)
+        ) * (self.head_dim**-0.5)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum(
             "bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32
         ).astype(self.dtype)
-        out = out.reshape(B, H, W, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(
+            out.reshape(B, N, C)
+        )
 
 
 class NTB(nn.Module):
-    """Next Transformer Block: MHSA branch + MHCA branch, channel
-    concat (shrink-ratio 0.75/0.25), then ConvFFN."""
+    """Next Transformer Block (official NTB): PatchEmbed to the MHSA
+    branch width -> +E_MHSA(BN(x)) -> 1x1-projected MHCA branch ->
+    channel concat -> +Mlp(BN(cat))."""
 
     features: int
-    head_dim: int
-    sr_ratio: int
     stride: int = 1
-    shrink: float = 0.75
+    sr_ratio: int = 1
+    head_dim: int = 32
+    mix_block_ratio: float = 0.75
+    mlp_ratio: float = 2.0
+    divisor: int = 32
+    drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        c_mhsa = int(self.features * self.shrink)
-        c_mhca = self.features - c_mhsa
-        x = ConvBNReLU(
-            c_mhsa, 3, self.stride, relu=False, dtype=self.dtype,
-            name="patch_embed",
-        )(x, deterministic)
-        x = x + EfficientMHSA(
-            c_mhsa, self.head_dim, self.sr_ratio, dtype=self.dtype, name="mhsa"
-        )(
-            nn.BatchNorm(
-                use_running_average=deterministic, momentum=0.9,
-                dtype=jnp.float32, name="norm",
-            )(x).astype(self.dtype),
-            deterministic,
+        c_mhsa = _make_divisible(
+            self.features * self.mix_block_ratio, self.divisor
         )
-        y = ConvBNReLU(
-            c_mhca, 1, relu=False, dtype=self.dtype, name="mhca_proj"
+        c_mhca = self.features - c_mhsa
+        x = PatchEmbed(
+            c_mhsa, self.stride, dtype=self.dtype, name="patch_embed"
         )(x, deterministic)
-        y = y + MHCA(c_mhca, self.head_dim, dtype=self.dtype, name="mhca")(
+        B, H, W, _ = x.shape
+
+        out = nn.BatchNorm(
+            use_running_average=deterministic, momentum=0.9,
+            dtype=jnp.float32, name="norm1",
+        )(x).astype(self.dtype)
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        h = E_MHSA(
+            c_mhsa, self.head_dim, self.sr_ratio, dtype=self.dtype,
+            name="e_mhsa",
+        )(out.reshape(B, H * W, c_mhsa), deterministic).reshape(B, H, W, c_mhsa)
+        x = x + _drop_path(
+            h, self.drop_path_rate * self.mix_block_ratio, deterministic, rng
+        )
+
+        y = PatchEmbed(c_mhca, 1, dtype=self.dtype, name="projection")(
+            x, deterministic
+        )
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        h = MHCA(c_mhca, self.head_dim, dtype=self.dtype, name="mhca")(
             y, deterministic
         )
-        z = jnp.concatenate([x, y], axis=-1)
-        return z + ConvFFN(self.features, dtype=self.dtype, name="ffn")(
-            z, deterministic
+        y = y + _drop_path(
+            h,
+            self.drop_path_rate * (1.0 - self.mix_block_ratio),
+            deterministic,
+            rng,
         )
+
+        z = jnp.concatenate([x, y], axis=-1)
+        out = nn.BatchNorm(
+            use_running_average=deterministic, momentum=0.9,
+            dtype=jnp.float32, name="norm2",
+        )(z).astype(self.dtype)
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        h = Mlp(
+            self.features, self.mlp_ratio, self.divisor, dtype=self.dtype,
+            name="mlp",
+        )(out, deterministic)
+        return z + _drop_path(h, self.drop_path_rate, deterministic, rng)
 
 
 class NextViTBackbone(nn.Module):
@@ -216,42 +387,42 @@ class NextViTBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.cfg
-        # stem: /4 (three convs, strides 2,1,2)
-        x = ConvBNReLU(cfg.stem_chs[0], 3, 2, dtype=self.dtype, name="stem0")(
-            x, deterministic
-        )
-        x = ConvBNReLU(cfg.stem_chs[1], 3, 1, dtype=self.dtype, name="stem1")(
-            x, deterministic
-        )
-        x = ConvBNReLU(cfg.stem_chs[2], 3, 2, dtype=self.dtype, name="stem2")(
-            x, deterministic
-        )
+        # official 4-conv stem: strides 2,1,1,2 -> /4
+        s0, s1, s2 = cfg.stem_chs
+        for i, (ch, st) in enumerate(
+            ((s0, 2), (s1, 1), (s2, 1), (s2, 2))
+        ):
+            x = ConvBNReLU(ch, 3, st, dtype=self.dtype, name=f"stem{i}")(
+                x, deterministic
+            )
 
         feats = {}
-        blk = 0
-        for s, depth in enumerate(cfg.depths):
-            ch = cfg.stage_chs[s]
-            for d in range(depth):
-                stride = 2 if (s > 0 and d == 0) else 1
-                is_last = d == depth - 1
-                if is_last:
-                    x = NTB(
-                        features=ch,
-                        head_dim=cfg.num_heads,
-                        sr_ratio=cfg.sr_ratios[s],
-                        stride=stride,
-                        dtype=self.dtype,
-                        name=f"features{blk}_ntb",
-                    )(x, deterministic)
-                else:
-                    x = NCB(
-                        features=ch, stride=stride, dtype=self.dtype,
-                        name=f"features{blk}_ncb",
-                    )(x, deterministic)
-                if blk in self.hooks:
-                    feats[blk] = x
-                blk += 1
-        assert len(feats) == 4, (self.hooks, blk)
+        for blk, (btype, ch, stride, sr, dpr) in enumerate(cfg.plan()):
+            if btype == "ntb":
+                x = NTB(
+                    features=ch,
+                    stride=stride,
+                    sr_ratio=sr,
+                    head_dim=cfg.head_dim,
+                    mix_block_ratio=cfg.mix_block_ratio,
+                    divisor=cfg.divisor,
+                    drop_path_rate=dpr,
+                    dtype=self.dtype,
+                    name=f"features{blk}",
+                )(x, deterministic)
+            else:
+                x = NCB(
+                    features=ch,
+                    stride=stride,
+                    head_dim=cfg.head_dim,
+                    divisor=cfg.divisor,
+                    drop_path_rate=dpr,
+                    dtype=self.dtype,
+                    name=f"features{blk}",
+                )(x, deterministic)
+            if blk in self.hooks:
+                feats[blk] = x
+        assert len(feats) == 4, (self.hooks, len(feats))
         return tuple(feats[h] for h in self.hooks)
 
 
@@ -262,7 +433,9 @@ def make_next_vit_backbone(
 ):
     cfg = NEXT_VIT_CONFIGS[backbone]
     hooks = tuple(hooks) if hooks is not None else NEXT_VIT_HOOKS[backbone]
+    plan = cfg.plan()
+    chans = tuple(plan[h][1] for h in hooks)
     factory = functools.partial(
         NextViTBackbone, cfg=cfg, hooks=hooks, dtype=dtype
     )
-    return factory, cfg.stage_chs
+    return factory, chans

@@ -115,7 +115,9 @@ class WindowAttentionV1(nn.Module):
             ((2 * wh - 1) * (2 * ww - 1), H),
         )
         rpi = jnp.asarray(relative_position_index(wh, ww).reshape(-1))
-        bias = table[rpi].reshape(N, N, H).transpose(2, 0, 1)
+        # jnp.asarray: params may be host numpy (structural_init);
+        # numpy fancy-indexing breaks under an inner trace.
+        bias = jnp.asarray(table)[rpi].reshape(N, N, H).transpose(2, 0, 1)
         attn = attn + bias.astype(jnp.float32)[None]
 
         if mask is not None:
@@ -150,7 +152,7 @@ class SwinV1Block(nn.Module):
         Wp = -(-Wr // ws) * ws
 
         shortcut = x
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         if (Hp, Wp) != (Hr, Wr):
             h = jnp.pad(h, ((0, 0), (0, Hp - Hr), (0, Wp - Wr), (0, 0)))
         if shift > 0:
@@ -173,7 +175,7 @@ class SwinV1Block(nn.Module):
         )
         x = shortcut + drop_path(h, self.drop_path_rate, deterministic, rng)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(
             int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1"
         )(h)
@@ -200,7 +202,7 @@ class PatchMergingV1(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         return nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -222,7 +224,7 @@ class SwinV1Backbone(nn.Module):
             dtype=self.dtype,
             name="patch_embed",
         )(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
 
         grid = (H // cfg.patch_size, W // cfg.patch_size)
         total_depth = sum(cfg.depths)

@@ -270,9 +270,9 @@ class WindowAttentionV2(nn.Module):
         ).astype(self.dtype)
 
         if self.use_pallas:
-            from ...ops.window_attention import cosine_window_attention
+            from ...ops.window_attention import pallas_window_attention
 
-            out = cosine_window_attention(
+            out = pallas_window_attention(
                 qn,
                 kn,
                 v,
@@ -350,7 +350,7 @@ class SwinV2Block(nn.Module):
             h = jnp.roll(h, shift=(shift, shift), axis=(1, 2))
         if (Hp, Wp) != (Hr, Wr):
             h = h[:, :Hr, :Wr]
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(h).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(h).astype(self.dtype)
         rng = (
             self.make_rng("dropout")
             if (not deterministic and self.drop_path_rate > 0)
@@ -363,7 +363,7 @@ class SwinV2Block(nn.Module):
         )(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(h).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(h).astype(self.dtype)
         rng = (
             self.make_rng("dropout")
             if (not deterministic and self.drop_path_rate > 0)
@@ -386,7 +386,7 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # timm concat order
         x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
 
 
 class SwinV2Backbone(nn.Module):
@@ -423,7 +423,7 @@ class SwinV2Backbone(nn.Module):
             dtype=self.dtype,
             name="patch_embed",
         )(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x).astype(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x).astype(
             self.dtype
         )
 

@@ -127,7 +127,7 @@ class TransformerBlock(nn.Module):
         hd = C // H
         B, T, _ = x.shape
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         if cfg.family == "beit":
             # q/v bias only (k bias zero), like timm beit
             qkv = nn.Dense(3 * C, use_bias=False, dtype=self.dtype, name="qkv")(h)
@@ -154,7 +154,8 @@ class TransformerBlock(nn.Module):
                 (num_rel, H),
             )
             idx = jnp.asarray(_beit_rel_pos_index(gh, gw).reshape(-1))
-            bias = table[idx].reshape(T, T, H).transpose(2, 0, 1)
+            # jnp.asarray: params may be host numpy (structural_init)
+            bias = jnp.asarray(table)[idx].reshape(T, T, H).transpose(2, 0, 1)
             attn = attn + bias.astype(jnp.float32)[None]
 
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
@@ -173,7 +174,7 @@ class TransformerBlock(nn.Module):
             out = out * gamma1.astype(out.dtype)
         x = x + out
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(int(C * cfg.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h)

@@ -63,14 +63,14 @@ class ViT3D(nn.Module):
         x = x + pos.astype(x.dtype)
 
         for i in range(self.depth):
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm1_{i}")(x).astype(
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm1_{i}")(x).astype(
                 self.dtype
             )
             h = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, dtype=self.dtype, name=f"attn_{i}"
             )(h, h)
             x = x + h
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm2_{i}")(x).astype(
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm2_{i}")(x).astype(
                 self.dtype
             )
             h = nn.Dense(
@@ -83,7 +83,7 @@ class ViT3D(nn.Module):
             x = x + h
 
         if self.mode == "classify":
-            cls_out = nn.LayerNorm(dtype=jnp.float32, name="head_norm")(x[:, 0])
+            cls_out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="head_norm")(x[:, 0])
             return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
                 cls_out
             )

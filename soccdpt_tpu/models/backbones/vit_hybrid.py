@@ -45,7 +45,7 @@ class PreActBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pre = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="gn_pre")(
+        pre = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="gn_pre")(
             x
         ).astype(self.dtype)
         pre = nn.relu(pre)
@@ -61,7 +61,7 @@ class PreActBottleneck(nn.Module):
         h = WSConv(
             self.mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
         )(pre)
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="gn1")(h).astype(
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="gn1")(h).astype(
             self.dtype
         )
         h = nn.relu(h)
@@ -69,7 +69,7 @@ class PreActBottleneck(nn.Module):
             self.mid, (3, 3), strides=(self.stride, self.stride), padding=1,
             use_bias=False, dtype=self.dtype, name="conv2",
         )(h)
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="gn2")(h).astype(
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="gn2")(h).astype(
             self.dtype
         )
         h = nn.relu(h)

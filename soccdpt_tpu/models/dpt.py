@@ -80,14 +80,22 @@ class FeatureFusionBlock(nn.Module):
             self.features, self.use_bn, self.dtype, name="res_conv_unit2"
         )(out, deterministic)
 
+        # The reference applies out_conv AFTER the bilinear upsample
+        # (blocks.py:488-495). A 1x1 conv is a per-pixel channel map and
+        # bilinear resize is a per-channel spatial map: they commute
+        # exactly, so the conv runs here at the pre-upsample resolution
+        # — 4x fewer conv FLOPs and one full-resolution tensor round-trip
+        # less HBM traffic per refinenet (PERF.md "decoder HBM gap").
+        # Math identical to the reference; float summation order differs.
+        out = nn.Conv(
+            self.features, (1, 1), dtype=self.dtype, name="out_conv"
+        )(out)
         target = size if size is not None else self.size
         if target is None:
             out = upsample2x_hw(out, "bilinear", align_corners=True)
         else:
             out = resize_hw(out, tuple(target), "bilinear", align_corners=True)
-        return nn.Conv(
-            self.features, (1, 1), dtype=self.dtype, name="out_conv"
-        )(out)
+        return out
 
 
 class DPT(nn.Module):

@@ -105,11 +105,9 @@ class Trainer:
     ) -> None:
         if tcfg.amp and mcfg.compute_dtype != "bfloat16":
             mcfg = dataclasses.replace(mcfg, compute_dtype="bfloat16")
-        if use_pallas:
-            # the Pallas kernels are forward-only (no custom VJP yet);
-            # training always uses the differentiable XLA path
-            print("[trainer] use_pallas is inference-only; using XLA path")
-            use_pallas = False
+        # use_pallas is trainable since the window-attention kernel
+        # gained a custom VJP (Pallas forward, XLA-recompute backward —
+        # ops/window_attention.pallas_window_attention)
         self.mcfg = mcfg
         self.tcfg = tcfg
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
@@ -149,7 +147,7 @@ class Trainer:
 
     # -- train step ----------------------------------------------------
 
-    def _build_step(self, patch_index: int) -> Callable:
+    def _build_step(self, patch_index: int, donate: bool = True) -> Callable:
         mask = self.masks[patch_index]
         model = self.model
         tx = self.tx
@@ -182,7 +180,7 @@ class Trainer:
             )
             return total, (aux, updates.get("batch_stats", batch_stats))
 
-        @partial(jax.jit, donate_argnums=(0,))
+        @partial(jax.jit, donate_argnums=(0,) if donate else ())
         def train_step(state: TrainState, batch, rng):
             (loss, (aux, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -209,27 +207,91 @@ class Trainer:
     def train_step(
         self, state: TrainState, batch: Dict[str, np.ndarray], rng: jax.Array
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        """One optimizer step per patch mask over the same batch
-        (the PatchWiseInplace inner loop, train_SOccDPT.py:362-393)."""
-        device_batch = self._shard_batch(batch)
-        metrics = {}
-        for i in range(len(self.masks)):
-            if i not in self._step_cache:
-                self._step_cache[i] = self._build_step(i)
-            rng, sub = jax.random.split(rng)
-            state, metrics = self._step_cache[i](state, device_batch, sub)
-        return state, metrics
+        """One optimizer step per patch mask over the same batch.
 
-    def _shard_batch(self, batch: Dict[str, np.ndarray]):
+        ``patchwise_mode="inplace"`` (default): sequential patch steps,
+        each seeing the previous patch's updates — the reference's
+        PatchWiseInplace inner loop (train_SOccDPT.py:362-393).
+        ``"snapshot"``: every patch trained from the same start params,
+        updates batch-applied at the end — the reference's non-inplace
+        PatchWise (patchwise_training/__init__.py:9-145); optimizer
+        state and BN statistics still thread sequentially, exactly like
+        the reference's shared optimizer across the patch loop.
+        """
+        device_batch = self._shard_batch(batch)
+        snapshot = (
+            self.tcfg.patchwise_mode == "snapshot" and len(self.masks) > 1
+        )
+        metrics = {}
+        if not snapshot:
+            for i in range(len(self.masks)):
+                if i not in self._step_cache:
+                    self._step_cache[i] = self._build_step(i)
+                rng, sub = jax.random.split(rng)
+                state, metrics = self._step_cache[i](state, device_batch, sub)
+            return state, metrics
+
+        w0 = state.params  # shared start for every patch
+        merged = w0
+        for i, mask in enumerate(self.masks):
+            key = ("snap", i)
+            if key not in self._step_cache:
+                # no donation: w0 is reused by every patch
+                self._step_cache[key] = self._build_step(i, donate=False)
+            rng, sub = jax.random.split(rng)
+            s_i = TrainState(
+                step=state.step,
+                params=w0,
+                batch_stats=state.batch_stats,
+                opt_state=state.opt_state,
+            )
+            s_i, metrics = self._step_cache[key](s_i, device_batch, sub)
+            # keep only this patch's updated leaves
+            merged = jax.tree_util.tree_map(
+                lambda flag, new, cur: new if flag else cur,
+                mask,
+                s_i.params,
+                merged,
+            )
+            state = TrainState(
+                step=s_i.step,
+                params=w0,
+                batch_stats=s_i.batch_stats,
+                opt_state=s_i.opt_state,
+            )
+        return (
+            TrainState(
+                step=state.step,
+                params=merged,
+                batch_stats=state.batch_stats,
+                opt_state=state.opt_state,
+            ),
+            metrics,
+        )
+
+    def shard_batch(self, batch: Dict[str, np.ndarray]):
         """Host->device transfer with minimal bytes: boolean masks ship
         as uint8 (4x less wire traffic than float32 — the GT tensors at
         camera resolution dominate step time on tunneled devices) and
-        are cast on device inside the jitted loss."""
+        are cast on device inside the jitted loss. With
+        ``tcfg.gt_downscale = k > 1`` the GT tensors are subsampled k-fold
+        per axis on the host before transfer (k^2 fewer wire bytes; the
+        SSI loss is scale-and-shift invariant and the masked BCE is a
+        mean, so the loss statistics are preserved on subsampled pixels —
+        verified in tests/test_training.py). Batches already on device
+        (e.g. via data.loader.device_prefetch) pass through untouched."""
         out = {}
         sh = mesh_lib.batch_sharding(self.mesh)
+        ds = max(int(self.tcfg.gt_downscale), 1)
         for k in ("image", "disparity", "mask_disp", "seg", "mask_seg"):
             if k in batch:
-                arr = np.asarray(batch[k])
+                arr = batch[k]
+                if isinstance(arr, jax.Array):
+                    out[k] = arr
+                    continue
+                arr = np.asarray(arr)
+                if ds > 1 and k != "image":
+                    arr = arr[..., ::ds, ::ds]
                 if arr.dtype == bool:
                     arr = arr.astype(np.uint8)
                 elif k in ("seg", "mask_disp", "mask_seg") and np.all(
@@ -238,6 +300,9 @@ class Trainer:
                     arr = arr.astype(np.uint8)
                 out[k] = jax.device_put(arr, sh)
         return out
+
+    # kept as an alias for older callers
+    _shard_batch = shard_batch
 
     # -- LR control ----------------------------------------------------
 

@@ -140,11 +140,12 @@ def test_next_vit_backbone_and_model():
     )
     vars_ = bb.init(jax.random.PRNGKey(0), x)
     feats = bb.apply(vars_, x, deterministic=True)
+    # official plan: stage-last channels (16, 32, 32, 64) at /4../32
     assert [f.shape for f in feats] == [
         (1, 16, 16, 16),
         (1, 8, 8, 32),
-        (1, 4, 4, 64),
-        (1, 2, 2, 128),
+        (1, 4, 4, 32),
+        (1, 2, 2, 64),
     ]
 
     from soccdpt_tpu.core.config import MODEL_TYPES, ModelConfig

@@ -194,3 +194,41 @@ def test_all_sweep_configs_load_and_yield_trials():
         assert cfg.epochs >= 1, path
         if "loss_weights" in trial:
             assert len(cfg.loss_weights) == 2, path
+
+
+def test_eval_others_stablehlo_file_adapter(bdd_tree, tmp_path):
+    """A foreign *artifact file* can be scored with the shared metrics
+    (reference eval_others.py:42-51): export StableHLO, evaluate via
+    the stablehlo:<path> adapter spec."""
+    from soccdpt_tpu.cli.eval_others import evaluate_adapter, load_adapter
+    from soccdpt_tpu.cli.export import export_model
+    from soccdpt_tpu.cli.train import build_datasets
+    from soccdpt_tpu.core.config import TrainConfig
+
+    out = export_model(
+        "dpt_swin2_test_64", 3, str(tmp_path / "m.stablehlo"), batch=1
+    )
+    tcfg = TrainConfig(dataset="bdd", base_path=bdd_tree)
+    dataset, _, _ = build_datasets(tcfg, "dpt_swin2_test_64")
+    adapter = load_adapter(f"stablehlo:{out}")
+    metrics = evaluate_adapter(adapter, dataset, max_samples=2)
+    assert "rmse" in metrics and "a1" in metrics
+    assert np.isfinite(metrics["rmse"])
+
+
+def test_eval_others_onnx_adapter_clear_error(tmp_path):
+    """Without onnxruntime installed, the onnx:<path> adapter fails with
+    an actionable message (and unknown schemes are rejected)."""
+    from soccdpt_tpu.cli.eval_others import file_adapter
+
+    p = tmp_path / "m.onnx"
+    p.write_bytes(b"\x00")
+    try:
+        import onnxruntime  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="onnxruntime"):
+            file_adapter("onnx", str(p))
+    with pytest.raises(ValueError, match="unknown file adapter"):
+        file_adapter("bogus", str(p))
+    with pytest.raises(FileNotFoundError):
+        file_adapter("stablehlo", str(tmp_path / "missing"))

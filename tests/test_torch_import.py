@@ -425,3 +425,191 @@ def test_hybrid_dpt_import_roundtrip():
         merged["backbone"]["block1"]["qkv"]["kernel"],
         bb["block1"]["qkv"]["kernel"],
     )
+
+
+def test_levit_dpt_import_roundtrip():
+    """LeViT DPT importer round-trip (MiDaS dpt_levit_224 layout: timm
+    Linear_BN/ConvNorm `c`/`bn` children, fused qkv, subsample kv+q,
+    ConvTranspose stem under scratch.stem_transpose)."""
+    from functools import partial
+
+    from soccdpt_tpu.core.torch_import import (
+        _levit_block_names,
+        import_dpt_levit_model,
+    )
+    from soccdpt_tpu.models.backbones import dpt_extras, make_backbone
+    from soccdpt_tpu.models.dpt import DPT
+    from soccdpt_tpu.models.heads import DepthHead
+
+    factory, chans = make_backbone("levittest_64")
+    model = DPT(
+        backbone=factory,
+        in_channels=chans,
+        head=partial(DepthHead, head_features_1=32, head_features_2=8),
+        features=32,
+        **dpt_extras("levittest_64"),
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    v = jax.device_get(model.init(jax.random.PRNGKey(0), x))
+    params, stats = v["params"], v["batch_stats"]
+
+    def conv(k):
+        return np.transpose(k, (3, 2, 0, 1))
+
+    def conv_t(k):
+        return np.transpose(k, (2, 3, 0, 1))
+
+    def dense(k):
+        return np.transpose(k, (1, 0))
+
+    def bn(sd, prefix, p_tree, s_tree):
+        sd[prefix + ".weight"] = p_tree["scale"]
+        sd[prefix + ".bias"] = p_tree["bias"]
+        sd[prefix + ".running_mean"] = s_tree["mean"]
+        sd[prefix + ".running_var"] = s_tree["var"]
+
+    bb, bs = params["backbone"], stats["backbone"]
+    sd = {}
+    for i in range(4):
+        sd[f"pretrained.model.patch_embed.{2 * i}.c.weight"] = conv(
+            bb[f"stem{i}"]["conv"]["kernel"]
+        )
+        bn(
+            sd, f"pretrained.model.patch_embed.{2 * i}.bn",
+            bb[f"stem{i}"]["bn"], bs[f"stem{i}"]["bn"],
+        )
+    depths = (2, 2, 2)
+    for n, (name, kind) in _levit_block_names(depths).items():
+        t = f"pretrained.model.blocks.{n}."
+        pb, sb = bb[name], bs[name]
+        if kind == "mlp":
+            for idx, fc in ((0, "fc1"), (2, "fc2")):
+                sd[t + f"m.{idx}.c.weight"] = dense(pb[fc]["linear"]["kernel"])
+                bn(sd, t + f"m.{idx}.bn", pb[fc]["bn"], sb[fc]["bn"])
+        elif kind == "attn":
+            sd[t + "m.qkv.c.weight"] = dense(pb["qkv"]["linear"]["kernel"])
+            bn(sd, t + "m.qkv.bn", pb["qkv"]["bn"], sb["qkv"]["bn"])
+            sd[t + "m.proj.1.c.weight"] = dense(pb["proj"]["linear"]["kernel"])
+            bn(sd, t + "m.proj.1.bn", pb["proj"]["bn"], sb["proj"]["bn"])
+            sd[t + "m.attention_biases"] = pb["attn_bias"]
+        else:  # sub
+            sd[t + "kv.c.weight"] = dense(pb["kv"]["linear"]["kernel"])
+            bn(sd, t + "kv.bn", pb["kv"]["bn"], sb["kv"]["bn"])
+            sd[t + "q.1.c.weight"] = dense(pb["q"]["linear"]["kernel"])
+            bn(sd, t + "q.1.bn", pb["q"]["bn"], sb["q"]["bn"])
+            sd[t + "proj.1.c.weight"] = dense(pb["proj"]["linear"]["kernel"])
+            bn(sd, t + "proj.1.bn", pb["proj"]["bn"], sb["proj"]["bn"])
+            sd[t + "attention_biases"] = pb["attn_bias"]
+
+    st, ss = params["stem_transpose"], stats["stem_transpose"]
+    sd["scratch.stem_transpose.0.c.weight"] = conv_t(st["up1"]["kernel"])
+    bn(sd, "scratch.stem_transpose.0.bn", st["bn1"], ss["bn1"])
+    sd["scratch.stem_transpose.2.c.weight"] = conv_t(st["up2"]["kernel"])
+    bn(sd, "scratch.stem_transpose.2.bn", st["bn2"], ss["bn2"])
+
+    for k in range(1, 4):
+        sd[f"scratch.layer{k}_rn.weight"] = conv(params[f"layer{k}_rn"]["kernel"])
+        rn = params[f"refinenet{k}"]
+        for u in (1, 2):
+            if f"res_conv_unit{u}" not in rn:
+                continue
+            for c in (1, 2):
+                sd[f"scratch.refinenet{k}.resConfUnit{u}.conv{c}.weight"] = conv(
+                    rn[f"res_conv_unit{u}"][f"conv{c}"]["kernel"]
+                )
+                sd[f"scratch.refinenet{k}.resConfUnit{u}.conv{c}.bias"] = rn[
+                    f"res_conv_unit{u}"
+                ][f"conv{c}"]["bias"]
+        sd[f"scratch.refinenet{k}.out_conv.weight"] = conv(rn["out_conv"]["kernel"])
+        sd[f"scratch.refinenet{k}.out_conv.bias"] = rn["out_conv"]["bias"]
+    head = params["head"]
+    for idx, cname in ((0, "conv1"), (2, "conv2"), (4, "conv3")):
+        sd[f"scratch.output_conv.{idx}.weight"] = conv(head[cname]["kernel"])
+        sd[f"scratch.output_conv.{idx}.bias"] = head[cname]["bias"]
+
+    p, s = import_dpt_levit_model(
+        {k: np.asarray(v) for k, v in sd.items()}, depths=depths
+    )
+    fresh = jax.device_get(model.init(jax.random.PRNGKey(9), x))
+    merged_p = merge_into(fresh["params"], p, verbose=False)
+    merged_s = merge_into(fresh["batch_stats"], s, verbose=False)
+
+    got_p = dict(jax.tree_util.tree_leaves_with_path(merged_p))
+    for path, want in jax.tree_util.tree_leaves_with_path(params):
+        np.testing.assert_allclose(got_p[path], want, err_msg=str(path))
+    got_s = dict(jax.tree_util.tree_leaves_with_path(merged_s))
+    for path, want in jax.tree_util.tree_leaves_with_path(stats):
+        np.testing.assert_allclose(got_s[path], want, err_msg=str(path))
+
+
+def test_next_vit_dpt_import_roundtrip():
+    """Next-ViT DPT importer round-trip (official bytedance layout under
+    pretrained.model: stem.{i} / features.{N} with verbatim child
+    names). The inverse key map in this test is mechanical because the
+    flax module names mirror the torch attribute names."""
+    import re
+    from functools import partial
+
+    from soccdpt_tpu.core.torch_import import import_dpt_next_vit_model
+    from soccdpt_tpu.models.backbones import make_backbone
+    from soccdpt_tpu.models.dpt import DPT
+    from soccdpt_tpu.models.heads import DepthHead
+
+    factory, chans = make_backbone("nextvittest_64")
+    model = DPT(
+        backbone=factory,
+        in_channels=chans,
+        head=partial(DepthHead, head_features_1=32, head_features_2=8),
+        features=32,
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    v = jax.device_get(model.init(jax.random.PRNGKey(0), x))
+    params, stats = v["params"], v["batch_stats"]
+
+    def conv(k):
+        return np.transpose(k, (3, 2, 0, 1))
+
+    def dense(k):
+        return np.transpose(k, (1, 0))
+
+    def walk(node, path, out):
+        if isinstance(node, dict):
+            for kk, vv in node.items():
+                walk(vv, path + (kk,), out)
+        else:
+            out[path] = node
+
+    flat_p, flat_s = {}, {}
+    walk(params["backbone"], (), flat_p)
+    walk(stats["backbone"], (), flat_s)
+
+    def torch_prefix(path):
+        m = re.match(r"(stem|features)(\d+)$", path[0])
+        return ".".join(["pretrained", "model", m.group(1), m.group(2)] + list(path[1:-1]))
+
+    sd = {}
+    for path, val in flat_p.items():
+        base = torch_prefix(path)
+        if path[-1] == "kernel":
+            sd[base + ".weight"] = conv(val) if val.ndim == 4 else dense(val)
+        elif path[-1] == "scale":
+            sd[base + ".weight"] = val
+        else:
+            sd[base + ".bias"] = val
+    for path, val in flat_s.items():
+        base = torch_prefix(path)
+        sd[base + ".running_mean" if path[-1] == "mean" else base + ".running_var"] = val
+
+    p, s = import_dpt_next_vit_model({k: np.asarray(v) for k, v in sd.items()})
+    fresh = jax.device_get(model.init(jax.random.PRNGKey(9), x))
+    merged_p = merge_into(fresh["params"], p, verbose=False)["backbone"]
+    merged_s = merge_into(fresh["batch_stats"], s, verbose=False)["backbone"]
+
+    got_p, got_s = {}, {}
+    walk(merged_p, (), got_p)
+    walk(merged_s, (), got_s)
+    assert set(got_p) == set(flat_p)
+    for path, want in flat_p.items():
+        np.testing.assert_allclose(got_p[path], want, err_msg=str(path))
+    for path, want in flat_s.items():
+        np.testing.assert_allclose(got_s[path], want, err_msg=str(path))
