@@ -62,10 +62,16 @@ def main() -> None:
         np.random.default_rng(0).standard_normal((batch, 3, 256, 256)),
         jnp.float32,
     )
-    variables = _fake_init(model, x[:1], deterministic=True, return_raw=True)
+    variables = jax.device_put(
+        _fake_init(model, x[:1], deterministic=True, return_raw=True)
+    )
 
-    @partial(jax.jit, static_argnums=(1, 2))
-    def chained(inp, n, full):
+    # Params travel as a jit ARGUMENT: closing over the host param tree
+    # would bake ~80 MB of weights into the lowered module as HLO
+    # constants (slow compiles; HTTP 413 on the remote-compile tunnel
+    # for the larger models).
+    @partial(jax.jit, static_argnums=(2, 3))
+    def chained(v, inp, n, full):
         def body(i, carry):
             if full:
                 # Full reference contract: (inv_depth, seg, points, None)
@@ -73,7 +79,7 @@ def main() -> None:
                 # reference's 47 Hz times (eval_SOccDPT.py:247-259 ->
                 # SOccDPT.py:681-685 -> get_semantic_occupancy :264-372).
                 inv_d, seg, points, _ = model.apply(
-                    variables, carry, deterministic=True,
+                    v, carry, deterministic=True,
                     return_raw=False, compute_occ=False,
                 )
                 dep = (
@@ -83,7 +89,7 @@ def main() -> None:
                 )
             else:
                 inv_d, seg = model.apply(
-                    variables, carry, deterministic=True, return_raw=True
+                    v, carry, deterministic=True, return_raw=True
                 )
                 # data dependency on BOTH outputs: without it XLA
                 # dead-code eliminates the untouched head and the bench lies
@@ -97,7 +103,8 @@ def main() -> None:
     def measure(full):
         def timed(n):
             t0 = time.perf_counter()
-            float(chained(x, n, full))  # value fetch = real synchronization
+            # value fetch = real synchronization
+            float(chained(variables, x, n, full))
             return time.perf_counter() - t0
 
         timed(1)  # compile n=1

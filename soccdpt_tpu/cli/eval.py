@@ -117,11 +117,12 @@ def main(argv=None):
     # ---- FPS (eval_SOccDPT.py:247-259) ----
     if not args.skip_fps:
         hz, dt = measure_forward_hz(
-            lambda x: model.apply(
-                variables, x, deterministic=True, return_raw=True
+            lambda v, x: model.apply(
+                v, x, deterministic=True, return_raw=True
             )[0],
             x0,
             batch=1,
+            params=variables,
         )
         print(f"FPS (batch=1): {hz:.1f} Hz ({dt * 1e3:.2f} ms/forward)")
 

@@ -47,16 +47,21 @@ def main(argv=None):
         from ..utils.fake_init import structural_init as _fake_init
 
         variables = _fake_init(model, x[:1], deterministic=True, return_raw=True)
+        # One explicit transfer; the timing jit then takes the weights as
+        # an argument (baking them in as closed-over constants overflows
+        # the remote-compile transport for the 200M+ param models).
+        variables = jax.device_put(variables)
         n_params = sum(
             int(np.prod(np.shape(l)))
             for l in jax.tree_util.tree_leaves(variables["params"])
         )
         hz, dt = measure_forward_hz(
-            lambda inp: model.apply(
-                variables, inp, deterministic=True, return_raw=True
+            lambda v, inp: model.apply(
+                v, inp, deterministic=True, return_raw=True
             )[0],
             x,
             batch=args.batch,
+            params=variables,
         )
         row = {
             "model_type": mt,

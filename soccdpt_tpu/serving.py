@@ -10,7 +10,8 @@ transfer of the raw frame is the only data movement per request.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+import collections
+from typing import Any, Callable, Iterable, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,3 +50,33 @@ def make_serving_fn(
         )
 
     return jax.jit(serve) if jit else serve
+
+
+def serve_stream(
+    serve_fn: Callable,
+    frames: Iterable,
+    depth: int = 2,
+    host_prefetch: int = 2,
+) -> Iterator:
+    """Pipelined serving over a stream of camera frames.
+
+    The reference's deployment loop is fully sequential — read frame,
+    preprocess, run, postprocess, repeat (run_SOccDPT_onnx.py). Here
+    three stages overlap: a background thread pulls from the (possibly
+    slow) frame source, ``jax.device_put`` ships upcoming frames while
+    the TPU computes (transfers are async), and ``depth`` forward
+    dispatches stay in flight so per-request wire latency hides behind
+    compute. Yields fully-materialized outputs in order.
+    """
+    from .data.loader import device_prefetch, prefetch
+
+    inflight: "collections.deque" = collections.deque()
+    on_device = device_prefetch(
+        prefetch(frames, size=host_prefetch), jax.device_put, depth=depth
+    )
+    for xd in on_device:
+        inflight.append(serve_fn(xd))
+        if len(inflight) >= depth:
+            yield jax.block_until_ready(inflight.popleft())
+    while inflight:
+        yield jax.block_until_ready(inflight.popleft())

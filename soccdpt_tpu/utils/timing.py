@@ -22,16 +22,26 @@ def measure_forward_hz(
     batch: int,
     n_iters: int = 21,
     repeats: int = 3,
+    params=None,
 ) -> Tuple[float, float]:
-    """Returns (hz, seconds_per_forward). ``apply_fn(x) -> array`` must
-    return something reducible to a scalar-dependency."""
+    """Returns (hz, seconds_per_forward).
+
+    ``apply_fn(x) -> array`` (or ``apply_fn(params, x)`` when ``params``
+    is given) must return something reducible to a scalar-dependency.
+
+    Pass large weight trees via ``params`` — NOT closed over inside
+    ``apply_fn``. Closed-over host arrays are baked into the lowered
+    module as HLO constants; at 200M-param sizes that overflows the
+    remote-compile transport (HTTP 413 through the axon tunnel) and
+    bloats every compile (jax's captured-constants hazard).
+    """
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnums=(1,))
-    def chained(inp, n):
+    @partial(jax.jit, static_argnums=(2,))
+    def chained(p, inp, n):
         def body(i, carry):
-            out = apply_fn(carry)
+            out = apply_fn(carry) if p is None else apply_fn(p, carry)
             # depend on EVERY output, else XLA dead-code eliminates the
             # untouched ones and the measurement lies
             leaves = [
@@ -46,7 +56,7 @@ def measure_forward_hz(
 
     def timed(n):
         t0 = time.perf_counter()
-        float(chained(example_input, n))
+        float(chained(params, example_input, n))
         return time.perf_counter() - t0
 
     timed(1)

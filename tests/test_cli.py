@@ -232,3 +232,15 @@ def test_eval_others_onnx_adapter_clear_error(tmp_path):
         file_adapter("bogus", str(p))
     with pytest.raises(FileNotFoundError):
         file_adapter("stablehlo", str(tmp_path / "missing"))
+
+
+def test_eval_timing_cli_params_as_argument():
+    """eval_timing runs on the tiny model; weights travel as a jit
+    argument (closing over host arrays bakes them into the module as
+    constants — overflows the remote-compile transport at 200M params)."""
+    from soccdpt_tpu.cli.eval_timing import main
+
+    rows = main(["-t", "dpt_swin2_test_64", "--json"])
+    assert len(rows) == 1
+    assert rows[0]["model_type"] == "dpt_swin2_test_64"
+    assert rows[0]["hz"] > 0

@@ -144,3 +144,28 @@ def test_serving_pipeline_end_to_end():
     assert seg.shape == (1, 3, 48, 64)
     assert points.shape == (1, 48, 64, 3)
     assert occ.shape == (1, 16, 16, 8, 3)
+
+
+def test_serve_stream_matches_sequential():
+    """Pipelined serving yields the same outputs, in order, as calling
+    the serving fn frame by frame."""
+    from soccdpt_tpu.serving import make_serving_fn, serve_stream
+
+    cfg = tiny_cfg(version=3)
+    model = build_model(cfg)
+    x0 = jnp.zeros((1, 3, 64, 64))
+    variables = model.init(jax.random.PRNGKey(0), x0, return_raw=True)
+    serve = make_serving_fn(cfg, variables)
+
+    rng = np.random.default_rng(1)
+    frames = [
+        rng.integers(0, 255, (1, 48, 64, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    streamed = list(serve_stream(serve, iter(frames), depth=2))
+    assert len(streamed) == 5
+    for frame, got in zip(frames, streamed):
+        want = serve(jnp.asarray(frame))
+        for w, g in zip(
+            jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)
+        ):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
