@@ -35,9 +35,12 @@ def builtin_adapter(model_type: str, version: int = 3, load=None) -> Callable:
 
     variables = None
 
+    # Weights as a jit argument, not a closure: closed-over trees ship
+    # with the module at compile time and overflow the remote-compile
+    # transport for the big model types (see utils/timing.py).
     @jax.jit
-    def forward(x):
-        return model.apply(variables, x, deterministic=True, return_raw=True)[0]
+    def forward(v, x):
+        return model.apply(v, x, deterministic=True, return_raw=True)[0]
 
     def fn(images: np.ndarray) -> np.ndarray:
         nonlocal variables
@@ -56,8 +59,8 @@ def builtin_adapter(model_type: str, version: int = 3, load=None) -> Callable:
                         "batch_stats", init.get("batch_stats", {})
                     ),
                 }
-            variables = init
-        return np.asarray(forward(x), np.float32)
+            variables = jax.device_put(init)
+        return np.asarray(forward(variables, x), np.float32)
 
     return fn
 

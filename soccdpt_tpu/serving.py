@@ -39,17 +39,24 @@ def make_serving_fn(
     _, net_w, net_h = MODEL_TYPES[cfg.model_type]
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    def serve(frames_u8: jnp.ndarray):
+    def serve(v, frames_u8: jnp.ndarray):
         x = device_preprocess(frames_u8, (net_w, net_h), dtype=dtype)
         return model.apply(
-            variables,
+            v,
             x,
             deterministic=True,
             compute_occ=compute_occ,
             output_size=output_size,
         )
 
-    return jax.jit(serve) if jit else serve
+    if not jit:
+        return lambda frames_u8: serve(variables, frames_u8)
+    # Weights as a jit argument (one up-front transfer), not a closure:
+    # closed-over trees ship with the module at compile time and
+    # overflow the remote-compile transport for 200M+ param models.
+    variables = jax.device_put(variables)
+    served = jax.jit(serve)
+    return lambda frames_u8: served(variables, frames_u8)
 
 
 def serve_stream(

@@ -21,15 +21,20 @@ from .metrics import occupancy_iou, seg_iou, ssi_aligned_depth_metrics
 
 
 def make_eval_forward(model, variables) -> Callable:
-    """Jitted deterministic forward returning raw (inv_depth, seg)."""
+    """Jitted deterministic forward returning raw (inv_depth, seg).
+
+    The weight tree is bound as a jit *argument* (one explicit transfer
+    up front), not a closure: closed-over host trees are shipped with
+    the module at compile time, which overflows the remote-compile
+    transport for 200M+ param models (see utils/timing.py).
+    """
+    variables = jax.device_put(variables)
 
     @jax.jit
-    def forward(image):
-        return model.apply(
-            variables, image, deterministic=True, return_raw=True
-        )
+    def forward(v, image):
+        return model.apply(v, image, deterministic=True, return_raw=True)
 
-    return forward
+    return lambda image: forward(variables, image)
 
 
 def evaluate_depth_seg(
