@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/dec_profile")
+    ap.add_argument("--fold_biases", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +53,12 @@ def main():
     variables = jax.device_put(
         structural_init(model, x, deterministic=True, return_raw=True)
     )
+    if args.fold_biases:
+        from soccdpt_tpu.models.bias_cache import build_inference_cache
+
+        variables = build_inference_cache(
+            model, variables, x, deterministic=True, return_raw=True
+        )
 
     @jax.jit
     def fwd(v, inp):

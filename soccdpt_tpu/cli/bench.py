@@ -66,12 +66,19 @@ def main() -> None:
         _fake_init(model, x[:1], deterministic=True, return_raw=True)
     )
 
-    # Params travel as a jit ARGUMENT: closing over the host param tree
-    # would bake ~80 MB of weights into the lowered module as HLO
-    # constants (slow compiles; HTTP 413 on the remote-compile tunnel
-    # for the larger models).
+    # Two weight-binding modes. Default: weights BAKED into the program
+    # as constants — the serving-artifact deployment mode (the reference
+    # bakes weights into its ONNX export the same way); XLA constant-
+    # folds weight layouts, worth ~10% per forward. BENCH_WEIGHT_ARGS=1
+    # passes the tree as a jit argument instead (the only mode that
+    # compiles for 200M+ param models through the remote-compile
+    # transport — see utils/timing.py).
+    weight_args = os.environ.get("BENCH_WEIGHT_ARGS", "0") == "1"
+
     @partial(jax.jit, static_argnums=(2, 3))
     def chained(v, inp, n, full):
+        if v is None:
+            v = variables
         def body(i, carry):
             if full:
                 # Full reference contract: (inv_depth, seg, points, None)
@@ -104,7 +111,7 @@ def main() -> None:
         def timed(n):
             t0 = time.perf_counter()
             # value fetch = real synchronization
-            float(chained(variables, x, n, full))
+            float(chained(variables if weight_args else None, x, n, full))
             return time.perf_counter() - t0
 
         timed(1)  # compile n=1

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..bias_cache import cached_bias
+
 Dtype = Any
 
 
@@ -137,13 +139,21 @@ class LeViTAttention(nn.Module):
         bias_table = self.param(
             "attn_bias", nn.initializers.zeros, (H, gh * gw)
         )
-        idx = jnp.asarray(
-            _attn_bias_index(gh, gw, qh, qw, self.q_stride).reshape(-1)
-        )
-        # jnp.asarray first: params may arrive as host numpy arrays
-        # (structural_init) and numpy fancy-indexing breaks under an
-        # inner trace (fori_loop body) where the index is a tracer.
-        bias = jnp.asarray(bias_table)[:, idx].reshape(H, qh * qw, gh * gw)
+
+        def compute_bias():
+            idx = jnp.asarray(
+                _attn_bias_index(gh, gw, qh, qw, self.q_stride).reshape(-1)
+            )
+            # jnp.asarray first: params may arrive as host numpy arrays
+            # (structural_init) and numpy fancy-indexing breaks under an
+            # inner trace (fori_loop body) where the index is a tracer.
+            return jnp.asarray(bias_table)[:, idx].reshape(
+                H, qh * qw, gh * gw
+            )
+
+        # Param-derived constant — foldable at weight-bind time
+        # (models/bias_cache.py).
+        bias = cached_bias(self, "attn_bias_gathered", compute_bias)
         attn = attn + bias.astype(jnp.float32)[None]
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
 

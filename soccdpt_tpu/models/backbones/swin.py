@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..bias_cache import cached_bias
+
 from .swin2 import (
     drop_path,
     relative_position_index,
@@ -114,10 +116,16 @@ class WindowAttentionV1(nn.Module):
             nn.initializers.normal(0.02),
             ((2 * wh - 1) * (2 * ww - 1), H),
         )
-        rpi = jnp.asarray(relative_position_index(wh, ww).reshape(-1))
-        # jnp.asarray: params may be host numpy (structural_init);
-        # numpy fancy-indexing breaks under an inner trace.
-        bias = jnp.asarray(table)[rpi].reshape(N, N, H).transpose(2, 0, 1)
+
+        def compute_bias():
+            rpi = jnp.asarray(relative_position_index(wh, ww).reshape(-1))
+            # jnp.asarray: params may be host numpy (structural_init);
+            # numpy fancy-indexing breaks under an inner trace.
+            return jnp.asarray(table)[rpi].reshape(N, N, H).transpose(2, 0, 1)
+
+        # Param-derived constant — foldable at weight-bind time
+        # (models/bias_cache.py; slow TPU gather otherwise).
+        bias = cached_bias(self, "rel_bias", compute_bias)
         attn = attn + bias.astype(jnp.float32)[None]
 
         if mask is not None:

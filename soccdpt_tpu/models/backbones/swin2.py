@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..bias_cache import cached_bias
+
 Dtype = Any
 
 
@@ -247,18 +249,26 @@ class WindowAttentionV2(nn.Module):
 
         # Continuous relative position bias: 2-layer MLP on the static
         # log-spaced coords table, gathered by relative position index.
-        table = jnp.asarray(
-            relative_coords_table(*self.window, *self.pretrained_window)
-        )
-        cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_mlp_0")(table)
-        cpb = nn.relu(cpb)
-        cpb = nn.Dense(
+        # The MLP params must exist unconditionally (importer layout),
+        # so the Dense modules are declared outside the cached branch.
+        cpb_mlp_0 = nn.Dense(512, dtype=jnp.float32, name="cpb_mlp_0")
+        cpb_mlp_1 = nn.Dense(
             H, use_bias=False, dtype=jnp.float32, name="cpb_mlp_1"
-        )(cpb)  # (M, H)
-        rpi = jnp.asarray(relative_position_index(*self.window).reshape(-1))
-        rel_bias = cpb[rpi].reshape(N, N, H).transpose(2, 0, 1)  # (H, N, N)
-        rel_bias = 16.0 * jax.nn.sigmoid(rel_bias)
-        rel_bias = rel_bias.astype(self.dtype)
+        )
+
+        def compute_rel_bias():
+            table = jnp.asarray(
+                relative_coords_table(*self.window, *self.pretrained_window)
+            )
+            cpb = cpb_mlp_1(nn.relu(cpb_mlp_0(table)))  # (M, H)
+            rpi = jnp.asarray(relative_position_index(*self.window).reshape(-1))
+            rb = cpb[rpi].reshape(N, N, H).transpose(2, 0, 1)  # (H, N, N)
+            return (16.0 * jax.nn.sigmoid(rb)).astype(self.dtype)
+
+        # Param-derived constant: the gather runs at <60 GB/s on TPU and
+        # dominates single-dispatch latency — fold it at weight-bind time
+        # (models/bias_cache.py).
+        rel_bias = cached_bias(self, "rel_bias", compute_rel_bias)
 
         qn = q / jnp.maximum(
             jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True),

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..bias_cache import cached_bias
+
 Dtype = Any
 
 
@@ -153,9 +155,22 @@ class TransformerBlock(nn.Module):
                 nn.initializers.zeros,
                 (num_rel, H),
             )
-            idx = jnp.asarray(_beit_rel_pos_index(gh, gw).reshape(-1))
-            # jnp.asarray: params may be host numpy (structural_init)
-            bias = jnp.asarray(table)[idx].reshape(T, T, H).transpose(2, 0, 1)
+
+            def compute_bias():
+                idx = jnp.asarray(_beit_rel_pos_index(gh, gw).reshape(-1))
+                # jnp.asarray: params may be host numpy (structural_init)
+                return (
+                    jnp.asarray(table)[idx].reshape(T, T, H).transpose(2, 0, 1)
+                )
+
+            # Param-derived constant: at the 512-px grid this is a
+            # million-row gather + 67 MB transpose PER BLOCK per
+            # dispatch — the dominant cost of BEiT single-shot serving.
+            # Folded at weight-bind time (models/bias_cache.py); keyed
+            # by grid so a cache built at another resolution is ignored.
+            bias = cached_bias(
+                self, f"rel_bias_{gh}x{gw}", compute_bias
+            )
             attn = attn + bias.astype(jnp.float32)[None]
 
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)

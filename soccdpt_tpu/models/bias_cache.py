@@ -1,0 +1,62 @@
+"""Bind-time folding of param-derived inference constants.
+
+Several backbones derive attention-bias tensors from parameters alone —
+Swin V2's CPB-MLP relative bias, BEiT's gathered relative-position
+table, Swin v1's and LeViT's bias-table gathers. Under a chained/looped
+jit XLA hoists these loop-invariant computations, but a single serving
+dispatch pays them on every call: profiling the flagship forward showed
+~1.2 ms of a 2.6 ms dispatch spent in these gathers (TPU gathers of
+short rows run at <60 GB/s; see PERF.md "Single-dispatch latency").
+
+The TPU-native fix is to fold them ONCE at weight-bind time: modules
+route bias computations through :func:`cached_bias`, and
+``build_inference_cache`` runs one forward with a mutable ``cache``
+collection to materialize every bias. Serving then applies with the
+``cache`` collection attached and each dispatch just reads the arrays.
+
+Training never passes a ``cache`` collection, so biases are recomputed
+inline there and gradients flow to the underlying parameters — the
+cache is an inference-only artifact (stale-cache hazard: rebuild it
+after any weight update).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from flax import linen as nn
+
+Array = Any
+
+
+def cached_bias(mod: nn.Module, name: str, compute: Callable[[], Array]) -> Array:
+    """Return ``compute()``, memoized in the module's ``cache`` collection.
+
+    - cache collection supplied read-only (serving): return the stored
+      value; the computation is skipped entirely.
+    - cache collection mutable (``build_inference_cache``): compute,
+      store, return.
+    - no cache collection (training / plain apply): compute inline.
+    """
+    if mod.has_variable("cache", name):
+        return mod.get_variable("cache", name)
+    value = compute()
+    if mod.is_mutable_collection("cache"):
+        mod.put_variable("cache", name, value)
+    return value
+
+
+def build_inference_cache(model, variables, example, **apply_kwargs):
+    """Materialize every ``cached_bias`` value for fixed weights.
+
+    Runs one (abstractly cheap) forward with ``mutable=["cache"]`` and
+    returns ``variables`` with the populated ``cache`` collection
+    attached. Rebuild after every weight update. Grid-dependent biases
+    (BEiT) are keyed by grid size, so a cache built at one input
+    resolution is simply ignored at another.
+    """
+    import jax
+
+    _, mutated = jax.jit(
+        lambda v, x: model.apply(v, x, mutable=["cache"], **apply_kwargs)
+    )(variables, example)
+    return {**variables, "cache": mutated["cache"]}

@@ -28,16 +28,30 @@ def make_serving_fn(
     output_size: Optional[Tuple[int, int]] = None,
     use_pallas: bool = False,
     jit: bool = True,
+    fold_biases: bool = True,
 ) -> Callable:
     """Build ``serve(frames_u8) -> (inv_depth, seg, points, occ|None)``.
 
     frames_u8: (B, H, W, 3) uint8 RGB at any camera resolution.
     Outputs are at camera resolution (or ``output_size``), matching the
     reference model forward contract (SOccDPT.py:366-372).
+
+    ``fold_biases`` precomputes every param-derived attention-bias
+    tensor once at bind time (models/bias_cache.py) — these gathers
+    otherwise dominate single-dispatch latency on TPU. Weights are
+    frozen inside a serving fn, so the fold is always valid here.
     """
     model = build_model(cfg, use_pallas=use_pallas)
     _, net_w, net_h = MODEL_TYPES[cfg.model_type]
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    if fold_biases and "cache" not in variables:
+        from .models.bias_cache import build_inference_cache
+
+        example = jnp.zeros((1, 3, net_h, net_w), jnp.float32)
+        variables = build_inference_cache(
+            model, variables, example, deterministic=True, return_raw=True
+        )
 
     def serve(v, frames_u8: jnp.ndarray):
         x = device_preprocess(frames_u8, (net_w, net_h), dtype=dtype)

@@ -26,15 +26,28 @@ def make_eval_forward(model, variables) -> Callable:
     The weight tree is bound as a jit *argument* (one explicit transfer
     up front), not a closure: closed-over host trees are shipped with
     the module at compile time, which overflows the remote-compile
-    transport for 200M+ param models (see utils/timing.py).
+    transport for 200M+ param models (see utils/timing.py). Param-
+    derived attention biases are folded once on the first call
+    (models/bias_cache.py) — weights are fixed during evaluation, and
+    the bias gathers otherwise dominate per-batch dispatch latency.
     """
+    from ..models.bias_cache import build_inference_cache
+
     variables = jax.device_put(variables)
+    bound = {}
 
     @jax.jit
     def forward(v, image):
         return model.apply(v, image, deterministic=True, return_raw=True)
 
-    return lambda image: forward(variables, image)
+    def run(image):
+        if "v" not in bound:
+            bound["v"] = build_inference_cache(
+                model, variables, image, deterministic=True, return_raw=True
+            )
+        return forward(bound["v"], image)
+
+    return run
 
 
 def evaluate_depth_seg(

@@ -169,3 +169,54 @@ def test_serve_stream_matches_sequential():
             jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)
         ):
             np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+@pytest.mark.parametrize(
+    "backbone",
+    ["swin2test_64", "swin1test_64", "beittest_64", "levittest_64"],
+)
+def test_bias_cache_matches_inline(backbone):
+    """Folding param-derived attention biases at bind time
+    (models/bias_cache.py) must not change the forward by a single bit,
+    for every backbone family that gathers a bias table."""
+    from soccdpt_tpu.models.backbones import make_backbone
+    from soccdpt_tpu.models.bias_cache import build_inference_cache
+
+    bb_factory, _ = make_backbone(backbone)
+    model = bb_factory()
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 3, 64, 64)), jnp.float32
+    ).transpose(0, 2, 3, 1)
+    variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+    # randomize params so zero-init biases don't mask indexing errors
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    rngs = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    leaves = [
+        jax.random.normal(r, l.shape, l.dtype) * 0.05
+        for r, l in zip(rngs, leaves)
+    ]
+    variables = {
+        **variables, "params": jax.tree_util.tree_unflatten(treedef, leaves)
+    }
+
+    want = model.apply(variables, x, deterministic=True)
+    cached_vars = build_inference_cache(
+        model, variables, x, deterministic=True
+    )
+    assert cached_vars["cache"], "cache collection should be non-empty"
+    got = model.apply(cached_vars, x, deterministic=True)
+    for w, g in zip(
+        jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)
+    ):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+    # and under jit with the cache as an argument
+    jit_got = jax.jit(
+        lambda v, inp: model.apply(v, inp, deterministic=True)
+    )(cached_vars, x)
+    for w, g in zip(
+        jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(jit_got)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(w, np.float32), np.asarray(g, np.float32), atol=1e-5
+        )
