@@ -195,18 +195,24 @@ def _attn_kernel_batched_masked(
 
 
 def _pick_group(Bw: int, N: int, nW: Optional[int]) -> int:
-    """Windows per program: largest power of two that (a) divides the
-    flat window count, (b) divides the per-image window count when a
-    shift mask is present (so one block sees contiguous masks), and
-    (c) keeps the (G, N, N) f32 attention scratch within ~4 MB."""
-    g = 8
-    while g > 1 and (
-        Bw % g != 0
-        or (nW is not None and nW % g != 0)
-        or g * N * N * 4 > 4 * 1024 * 1024
-    ):
-        g //= 2
-    return g
+    """Windows per program: the largest divisor of the flat window count
+    (and of the per-image window count when a shift mask is present, so
+    one block sees contiguous masks) that keeps the (G, N, N) f32
+    attention scratch within ~4 MB, capped at 8. Any divisor qualifies —
+    odd window grids (e.g. 9 windows of 24 px on a 72-px padded stage)
+    would never batch under a power-of-two-only rule."""
+    for g in range(min(8, Bw), 1, -1):
+        # VMEM budget: (G,N,N) f32 attention scratch, plus — on the
+        # masked (shifted-window) path — the (G,N,N) f32 mask block,
+        # double-buffered by the pipeline.
+        vmem = g * N * N * 4 * (1 + (2 if nW is not None else 0))
+        if (
+            Bw % g == 0
+            and (nW is None or nW % g == 0)
+            and vmem <= 4 * 1024 * 1024
+        ):
+            return g
+    return 1
 
 
 def cosine_window_attention_batched(
