@@ -107,7 +107,11 @@ def main():
                     t0 = time.perf_counter()
                     rng, sub = jax.random.split(rng)
                     state, metrics = trainer.train_step(state, batch, sub)
-                    jax.block_until_ready(metrics["loss"])
+                    # value fetch = real synchronization; block_until_ready
+                    # does not synchronize through the axon tunnel. The
+                    # reference train loop fetches loss.item() per step
+                    # identically (train_SOccDPT.py).
+                    float(metrics["loss"])
                     times.append(time.perf_counter() - t0)
                     it += 1
                     if it >= n_steps:

@@ -46,7 +46,9 @@ def make_backbone(
     ):
         from .vit import make_vit_backbone
 
-        return make_vit_backbone(name, hooks=hooks, dtype=dtype)
+        return make_vit_backbone(
+            name, hooks=hooks, dtype=dtype, use_pallas=use_pallas
+        )
     if name in ("vitb_rn50_384", "hybridtest_64"):
         from .vit_hybrid import make_vit_hybrid_backbone
 

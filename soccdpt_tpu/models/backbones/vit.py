@@ -119,6 +119,7 @@ class TransformerBlock(nn.Module):
     cfg: ViTConfig
     grid: Tuple[int, int]
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -143,10 +144,7 @@ class TransformerBlock(nn.Module):
         qkv = qkv.reshape(B, T, 3, H, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) * (hd**-0.5)
-
+        bias = None
         if cfg.family == "beit":
             gh, gw = self.grid
             num_rel = (2 * gh - 1) * (2 * gw - 1) + 3
@@ -171,12 +169,27 @@ class TransformerBlock(nn.Module):
             bias = cached_bias(
                 self, f"rel_bias_{gh}x{gw}", compute_bias
             )
-            attn = attn + bias.astype(jnp.float32)[None]
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum(
-            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
+        if self.use_pallas:
+            # Fused flash attention: the (H, T, T) score matrix and the
+            # rel-pos bias stay in VMEM instead of round-tripping HBM
+            # every layer (ops/global_attention.py; PERF.md BEiT-512).
+            from ...ops.global_attention import flash_mha
+
+            out = flash_mha(
+                q, k, v, bias, scale=hd**-0.5,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(self.dtype)
+        else:
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+            ) * (hd**-0.5)
+            if bias is not None:
+                attn = attn + bias.astype(jnp.float32)[None]
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum(
+                "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -228,6 +241,7 @@ class ViTBackbone(nn.Module):
     cfg: ViTConfig
     hooks: Tuple[int, int, int, int]
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -273,7 +287,8 @@ class ViTBackbone(nn.Module):
         feats = []
         for i in range(cfg.depth):
             tokens = TransformerBlock(
-                cfg=cfg, grid=(gh, gw), dtype=self.dtype, name=f"block{i}"
+                cfg=cfg, grid=(gh, gw), dtype=self.dtype,
+                use_pallas=self.use_pallas, name=f"block{i}"
             )(tokens, deterministic=deterministic)
             if i in self.hooks:
                 feats.append(tokens)
@@ -312,10 +327,11 @@ def make_vit_backbone(
     backbone: str,
     hooks: Optional[Sequence[int]] = None,
     dtype: Dtype = jnp.float32,
+    use_pallas: bool = False,
 ):
     cfg = VIT_CONFIGS[backbone]
     hooks = tuple(hooks) if hooks is not None else VIT_HOOKS[backbone]
     factory = functools.partial(
-        ViTBackbone, cfg=cfg, hooks=hooks, dtype=dtype
+        ViTBackbone, cfg=cfg, hooks=hooks, dtype=dtype, use_pallas=use_pallas
     )
     return factory, cfg.post_channels

@@ -1,0 +1,209 @@
+"""Pallas TPU flash attention for the global-attention backbones.
+
+BEiT/ViT attention at DPT resolutions runs over 577-4097 tokens; the
+XLA einsum path materializes the (H, T, T) f32 attention matrix in HBM
+every layer (67 MB at the 512-px grid) and, for BEiT, re-reads an
+(H, T, T) relative-position bias of the same size. Profiling
+dpt_beit_large_512 showed these round trips dominate the forward
+(PERF.md). This kernel keeps the whole softmax(QK^T*s + bias)V
+pipeline in VMEM: per program, one query block attends over the full
+(padded) key range of one head — k/v for a head fit comfortably in
+VMEM at these shapes, so no online-softmax streaming is needed.
+
+Contract (matches the inline einsum path in models/backbones/vit.py):
+
+    q, k, v : (B, H, T, d)  — any float dtype; d <= 128
+    bias    : (H, T, T) f32 — pre-gathered rel-pos bias, or None
+    scale   : python float  — applied to QK^T
+    returns : (B, H, T, d) in v.dtype
+
+Numerics: QK^T and PV accumulate in f32 on the MXU, softmax in f32 —
+the same precision contract as the XLA path (parity-tested).
+The backward is an XLA-recompute custom VJP (flash-attention recompute
+strategy), so the kernel is trainable.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, t_real: int):
+    """No-bias variant. Blocks: q (1,1,BQ,d), k/v (1,1,Tp,d),
+    out (1,1,BQ,d)."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, Tp)
+    # mask padded keys
+    tp = s.shape[-1]
+    if tp != t_real:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < t_real, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _flash_kernel_bias(
+    q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float, t_real: int
+):
+    """Bias variant. bias block: (1, BQ, Tp) f32."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + bias_ref[0].astype(jnp.float32)
+    tp = s.shape[-1]
+    if tp != t_real:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < t_real, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _flash_forward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    scale: float,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, H, T, d = q.shape
+    bq = min(block_q, _round_up(T, 128))
+    tp = _round_up(T, bq)
+
+    if tp != T:
+        pad = [(0, 0), (0, 0), (0, tp - T), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        if bias is not None:
+            # query-side padding is sliced off; key-side handled by the
+            # in-kernel iota mask, so zero-padding the bias is fine.
+            bias = jnp.pad(bias, [(0, 0), (0, tp - T), (0, tp - T)])
+
+    grid = (B, H, tp // bq)
+    qspec = pl.BlockSpec(
+        (1, 1, bq, d), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM
+    )
+    kvspec = pl.BlockSpec(
+        (1, 1, tp, d), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec(
+        (1, 1, bq, d), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM
+    )
+    flops = 4 * B * H * T * T * d
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=(
+            q.size * q.dtype.itemsize * 3
+            + (bias.size * 4 if bias is not None else 0)
+        ),
+        transcendentals=B * H * T * T,
+    )
+    if bias is None:
+        out = pl.pallas_call(
+            partial(_flash_kernel, scale=scale, t_real=T),
+            grid=grid,
+            in_specs=[qspec, kvspec, kvspec],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((B, H, tp, d), v.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+    else:
+        bspec = pl.BlockSpec(
+            (1, bq, tp), lambda b, h, i: (h, i, 0), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            partial(_flash_kernel_bias, scale=scale, t_real=T),
+            grid=grid,
+            in_specs=[qspec, kvspec, kvspec, bspec],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((B, H, tp, d), v.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v, bias.astype(jnp.float32))
+    return out[:, :, :T]
+
+
+def xla_reference(q, k, v, bias, scale):
+    """Plain-XLA reference (the inline path in vit.py), for parity."""
+    s = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)[None]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhnm,bhmd->bhnd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_mha(q, k, v, bias, scale, interpret):
+    return _flash_forward(q, k, v, bias, scale, interpret=interpret)
+
+
+def _flash_fwd(q, k, v, bias, scale, interpret):
+    out = _flash_mha(q, k, v, bias, scale, interpret)
+    return out, (q, k, v, bias)
+
+
+def _flash_bwd(scale, interpret, residuals, g):
+    # Flash-attention recompute backward: re-derive the attention matrix
+    # with plain XLA ops; autodiff yields exact cotangents incl. dbias
+    # (BEiT's rel-pos table is trainable).
+    q, k, v, bias = residuals
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: xla_reference(q_, k_, v_, None, scale),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g.astype(v.dtype))
+        return dq, dk, dv, None
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: xla_reference(q_, k_, v_, b_, scale),
+        q, k, v, bias,
+    )
+    dq, dk, dv, dbias = vjp(g.astype(v.dtype))
+    return dq, dk, dv, dbias
+
+
+_flash_mha.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    scale: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused global attention (see module docstring)."""
+    return _flash_mha(q, k, v, bias, scale, interpret)
