@@ -29,7 +29,7 @@ def main(argv=None):
     )
     parser.add_argument("-v", "--version", type=int, default=3)
     parser.add_argument("--batch", type=int, default=1)
-    parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--use_pallas", action="store_true", default=None)
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args(argv)
 

@@ -17,7 +17,7 @@ def make_backbone(
     name: str,
     hooks: Optional[Sequence[int]] = None,
     dtype: Any = None,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
     remat: bool = False,
 ) -> Tuple[nn.Module, Tuple[int, ...]]:
     """Return (backbone module factory, stage channel widths)."""
@@ -28,8 +28,11 @@ def make_backbone(
     if name in ("swin2t16_256", "swin2b24_384", "swin2l24_384", "swin2test_64"):
         from .swin2 import make_swin2_backbone
 
+        # The window-attention kernel loses to XLA at these shapes
+        # (PERF.md) — opt-in only.
         return make_swin2_backbone(
-            name, hooks=hooks, dtype=dtype, use_pallas=use_pallas, remat=remat
+            name, hooks=hooks, dtype=dtype, use_pallas=bool(use_pallas),
+            remat=remat,
         )
     if name in ("swinl12_384", "swin1test_64"):
         from .swin import make_swin1_backbone

@@ -327,10 +327,18 @@ def make_vit_backbone(
     backbone: str,
     hooks: Optional[Sequence[int]] = None,
     dtype: Dtype = jnp.float32,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
 ):
     cfg = VIT_CONFIGS[backbone]
     hooks = tuple(hooks) if hooks is not None else VIT_HOOKS[backbone]
+    if use_pallas is None:
+        # Measured on v5e (PERF.md): flash attention is 3.2-6.1x for the
+        # BEiT family (bias re-reads + score round-trips dominate) but
+        # 0.8x for plain ViT (no bias; cls-token padding overhead), so
+        # BEiT defaults to the kernel on TPU and ViT to XLA.
+        import jax
+
+        use_pallas = cfg.family == "beit" and jax.default_backend() == "tpu"
     factory = functools.partial(
         ViTBackbone, cfg=cfg, hooks=hooks, dtype=dtype, use_pallas=use_pallas
     )

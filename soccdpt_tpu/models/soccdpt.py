@@ -85,7 +85,7 @@ class SOccDPT_V1(nn.Module, _GeometryMixin):
 
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     remat: bool = False
 
     @nn.compact
@@ -164,7 +164,7 @@ class SOccDPT_V2(nn.Module, _GeometryMixin):
 
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     remat: bool = False
 
     @nn.compact
@@ -220,7 +220,7 @@ class SOccDPT_V3(nn.Module, _GeometryMixin):
 
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     remat: bool = False
 
     @nn.compact
@@ -273,7 +273,7 @@ SOccDPT_versions = {1: SOccDPT_V1, 2: SOccDPT_V2, 3: SOccDPT_V3}
 
 
 def build_model(
-    cfg: ModelConfig, use_pallas: bool = False, remat: bool = False
+    cfg: ModelConfig, use_pallas: Optional[bool] = None, remat: bool = False
 ) -> nn.Module:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     return SOccDPT_versions[cfg.version](

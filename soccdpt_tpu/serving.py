@@ -26,7 +26,7 @@ def make_serving_fn(
     variables: Any,
     compute_occ: bool = False,
     output_size: Optional[Tuple[int, int]] = None,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
     jit: bool = True,
     fold_biases: bool = True,
 ) -> Callable:

@@ -101,7 +101,7 @@ class Trainer:
         mcfg: ModelConfig,
         tcfg: TrainConfig,
         mesh: Optional[Mesh] = None,
-        use_pallas: bool = False,
+        use_pallas: Optional[bool] = None,
     ) -> None:
         if tcfg.amp and mcfg.compute_dtype != "bfloat16":
             mcfg = dataclasses.replace(mcfg, compute_dtype="bfloat16")
