@@ -92,8 +92,15 @@ def _flash_forward(
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, H, T, d = q.shape
-    bq = min(block_q, _round_up(T, 128))
-    tp = _round_up(T, bq)
+    # Pad T to the lane multiple first, then pick the largest query
+    # block that divides it: padding to a multiple of block_q directly
+    # wastes up to block_q-1 key columns in EVERY score row (33% at
+    # T=577), which costs more than smaller query blocks do.
+    tp = _round_up(T, 128)
+    bq = next(
+        (b for b in (block_q, 128) if b <= tp and tp % b == 0),
+        tp,
+    )
 
     if tp != T:
         pad = [(0, 0), (0, 0), (0, tp - T), (0, 0)]
