@@ -51,6 +51,16 @@ def main(argv=None):
         # an argument (baking them in as closed-over constants overflows
         # the remote-compile transport for the 200M+ param models).
         variables = jax.device_put(variables)
+        # Fold param-derived attention biases once, as serving does
+        # (models/bias_cache.py): XLA does NOT hoist the big CPB/rel-pos
+        # gathers out of the chained loop for the window-24 / 512-px
+        # models (hundreds of MB live), so timing them inline would
+        # charge every forward for work a bound server never repeats.
+        from ..models.bias_cache import build_inference_cache
+
+        variables = build_inference_cache(
+            model, variables, x[:1], deterministic=True, return_raw=True
+        )
         n_params = sum(
             int(np.prod(np.shape(l)))
             for l in jax.tree_util.tree_leaves(variables["params"])
