@@ -59,4 +59,9 @@ def build_inference_cache(model, variables, example, **apply_kwargs):
     _, mutated = jax.jit(
         lambda v, x: model.apply(v, x, mutable=["cache"], **apply_kwargs)
     )(variables, example)
-    return {**variables, "cache": mutated["cache"]}
+    # Backbones without param-derived biases (Next-ViT, hybrid, ...)
+    # write nothing; flax then omits the collection entirely.
+    cache = mutated.get("cache") if hasattr(mutated, "get") else None
+    if not cache:
+        return variables
+    return {**variables, "cache": cache}
