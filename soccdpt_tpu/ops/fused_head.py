@@ -62,7 +62,8 @@ def _conv3x3_taps_io(h, w_ref, rows, cols, Ci, Co):
 
 
 def _up2x_rows(mid, k0, T, n_cols, C, full):
-    """(2T+2, n_cols, C) out rows [2*k0+... ] per the module derivation.
+    """(2T+2, n_cols, C) out rows [2*k0-1, 2*k0+2T] per the module
+    docstring derivation.
 
     mid: (T+2, n_cols, C) rows [k0-1, k0+T]; full = image size H (or W).
     """
@@ -76,12 +77,28 @@ def _up2x_rows(mid, k0, T, n_cols, C, full):
     return jnp.stack([odd, even], axis=1).reshape(2 * (T + 1), n_cols, C)
 
 
+def _up2x_cols(mid, k0, T, n_rows, C, full):
+    """Column analog of _up2x_rows: mid (n_rows, T+2, C) ->
+    (n_rows, 2T+2, C), no transposes (Mosaic-friendly)."""
+    dt = mid.dtype
+    m_odd = k0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (1, T + 1, 1), 1)
+    m_even = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, T + 1, 1), 1)
+    b_k = ((full - 1 - m_odd).astype(jnp.float32) / (2 * full - 1)).astype(dt)
+    a_k = (m_even.astype(jnp.float32) / (2 * full - 1)).astype(dt)
+    odd = mid[:, 0 : T + 1] + b_k * (mid[:, 1 : T + 2] - mid[:, 0 : T + 1])
+    even = mid[:, 1 : T + 2] + a_k * (mid[:, 0 : T + 1] - mid[:, 1 : T + 2])
+    return jnp.stack([odd, even], axis=2).reshape(n_rows, 2 * (T + 1), C)
+
+
 def _head_tail_kernel(
-    x_hbm,  # (B, H+2+2, W+2+2, Ci) padded by (1 left, 3 right)
+    x_hbm,  # (B, H+8, W+8, Ci) padded by (1 left, 7 right) — the
+    # scratch tile's second-minor dim must be a multiple of 8 or the
+    # Mosaic AOT compile crashes (empirically bisected; the working
+    # fused_fusion kernel uses the same 8-aligned halo)
     w2_ref, b2_ref,  # conv3x3 (9, Ci, Cm) / (1, Cm)
     w3_ref, b3_ref,  # conv1x1 lane-padded (Cm, 128) / (1, 128)
     out_ref,  # (1, 2TH, 2TW)
-    scratch_x,  # (TH+4, TW+4, Ci)
+    scratch_x,  # (TH+8, TW+8, Ci)
     sem,
     *,
     TH: int, TW: int, Ci: int, Cm: int, H: int, W: int,
@@ -91,7 +108,7 @@ def _head_tail_kernel(
     j = pl.program_id(2)
 
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * TH, TH + 4), pl.ds(j * TW, TW + 4), :],
+        x_hbm.at[b, pl.ds(i * TH, TH + 8), pl.ds(j * TW, TW + 8), :],
         scratch_x,
         sem,
     )
@@ -103,8 +120,7 @@ def _head_tail_kernel(
     mid = scratch_x[0 : TH + 2, 0 : TW + 2, :]
 
     up_h = _up2x_rows(mid, i * TH, TH, TW + 2, Ci, H)  # (2TH+2, TW+2, C)
-    up_t = up_h.transpose(1, 0, 2)  # (TW+2, 2TH+2, C)
-    up = _up2x_rows(up_t, j * TW, TW, 2 * TH + 2, Ci, W).transpose(1, 0, 2)
+    up = _up2x_cols(up_h, j * TW, TW, 2 * TH + 2, Ci, W)
     # up: (2TH+2, 2TW+2, C) = out rows/cols with halo 1
 
     # zero out-of-image values (conv zero-padding semantics at out res)
@@ -120,14 +136,17 @@ def _head_tail_kernel(
     y += b2_ref[0].astype(jnp.float32)
     y = jnp.maximum(y, 0.0)
 
-    # --- conv1x1 (Cm -> 1, lane-padded to 128) + relu --------------
-    z = jax.lax.dot_general(
-        y.astype(w3_ref.dtype), w3_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    z += b3_ref[0].astype(jnp.float32)
+    # --- conv1x1 (Cm -> 1) + relu ----------------------------------
+    # Contract the Cm channels against the weight vector broadcast on
+    # the lane axis: (2TH, 2TW*? ) Keep it 2D-friendly for Mosaic:
+    # y2d (rows*cols, Cm) x w3 (Cm, 2TW)? Simplest supported form — sum
+    # over the channel axis of an elementwise product.
+    y3 = y.reshape(2 * TH, 2 * TW, Cm)
+    w3v = w3_ref[0].astype(jnp.float32)  # (Cm,)
+    z = jnp.sum(y3 * w3v[None, None, :], axis=-1)  # (2TH, 2TW)
+    z += b3_ref[0, 0].astype(jnp.float32)
     z = jnp.maximum(z, 0.0)
-    out_ref[0] = z[:, 0].reshape(2 * TH, 2 * TW).astype(out_ref.dtype)
+    out_ref[0] = z.astype(out_ref.dtype)
 
 
 def _fused_head_tail_fwd(
@@ -144,16 +163,11 @@ def _fused_head_tail_fwd(
     TH, TW = tile
     assert H % TH == 0 and W % TW == 0, (H, W, tile)
 
-    x_pad = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
+    x_pad = jnp.pad(x, ((0, 0), (1, 7), (1, 7), (0, 0)))
     w2r = w2.reshape(9, Ci, Cm).astype(x.dtype)
     b2r = b2.reshape(1, Cm).astype(jnp.float32)
-    # pad the 1-channel projection to the 128-lane tile
-    w3r = jnp.zeros((Cm, 128), x.dtype).at[:, 0].set(
-        w3.reshape(Cm).astype(x.dtype)
-    )
-    b3r = jnp.zeros((1, 128), jnp.float32).at[0, 0].set(
-        jnp.asarray(b3, jnp.float32).reshape(())
-    )
+    w3r = w3.reshape(1, Cm).astype(jnp.float32)
+    b3r = jnp.asarray(b3, jnp.float32).reshape(1, 1)
 
     grid = (B, H // TH, W // TW)
     kernel = functools.partial(
@@ -177,7 +191,7 @@ def _fused_head_tail_fwd(
         ),
         out_shape=jax.ShapeDtypeStruct((B, 2 * H, 2 * W), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 4, TW + 4, Ci), x.dtype),
+            pltpu.VMEM((TH + 8, TW + 8, Ci), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
