@@ -161,14 +161,7 @@ def convert_swin2_dpt_keys(
         if m:
             rn, rcu, bn, leaf = m.groups()
             base = (f"refinenet{rn}", f"res_conv_unit{rcu}", f"bn{bn}")
-            if leaf == "weight":
-                put(base + ("scale",), _id(val))
-            elif leaf == "bias":
-                put(base + ("bias",), _id(val))
-            elif leaf == "running_mean":
-                stats[base + ("mean",)] = _id(val)
-            else:
-                stats[base + ("var",)] = _id(val)
+            _bn_leaf(base, leaf, val, params, stats)
             continue
         m = re.match(r"scratch\.refinenet(\d)\.out_conv\.(weight|bias)$", key)
         if m:

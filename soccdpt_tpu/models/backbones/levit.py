@@ -152,8 +152,11 @@ class LeViTAttention(nn.Module):
             )
 
         # Param-derived constant — foldable at weight-bind time
-        # (models/bias_cache.py).
-        bias = cached_bias(self, "attn_bias_gathered", compute_bias)
+        # (models/bias_cache.py); keyed by grid so caches from other
+        # input resolutions are ignored.
+        bias = cached_bias(
+            self, f"attn_bias_{gh}x{gw}_{qh}x{qw}", compute_bias
+        )
         attn = attn + bias.astype(jnp.float32)[None]
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
 

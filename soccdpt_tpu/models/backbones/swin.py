@@ -124,8 +124,9 @@ class WindowAttentionV1(nn.Module):
             return jnp.asarray(table)[rpi].reshape(N, N, H).transpose(2, 0, 1)
 
         # Param-derived constant — foldable at weight-bind time
-        # (models/bias_cache.py; slow TPU gather otherwise).
-        bias = cached_bias(self, "rel_bias", compute_bias)
+        # (models/bias_cache.py; slow TPU gather otherwise). Keyed by
+        # the effective window (resolution-clipped upstream).
+        bias = cached_bias(self, f"rel_bias_{wh}x{ww}", compute_bias)
         attn = attn + bias.astype(jnp.float32)[None]
 
         if mask is not None:

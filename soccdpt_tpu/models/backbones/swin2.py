@@ -267,8 +267,14 @@ class WindowAttentionV2(nn.Module):
 
         # Param-derived constant: the gather runs at <60 GB/s on TPU and
         # dominates single-dispatch latency — fold it at weight-bind time
-        # (models/bias_cache.py).
-        rel_bias = cached_bias(self, "rel_bias", compute_rel_bias)
+        # (models/bias_cache.py). Keyed by the effective (resolution-
+        # clipped) window so a cache built at one input size is ignored
+        # at another rather than served with the wrong shape.
+        rel_bias = cached_bias(
+            self,
+            f"rel_bias_{self.window[0]}x{self.window[1]}",
+            compute_rel_bias,
+        )
 
         qn = q / jnp.maximum(
             jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True),

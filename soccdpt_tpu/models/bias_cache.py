@@ -36,7 +36,14 @@ def cached_bias(mod: nn.Module, name: str, compute: Callable[[], Array]) -> Arra
     - cache collection mutable (``build_inference_cache``): compute,
       store, return.
     - no cache collection (training / plain apply): compute inline.
+    - ``model.init``: compute inline, do NOT store — flax makes every
+      collection mutable during init, so storing here would hand every
+      caller of init a cache bound to the init-time params; replacing
+      the params afterwards (torch import, checkpoint restore) would
+      then silently serve stale biases.
     """
+    if mod.is_initializing():
+        return compute()
     if mod.has_variable("cache", name):
         return mod.get_variable("cache", name)
     value = compute()
@@ -56,6 +63,10 @@ def build_inference_cache(model, variables, example, **apply_kwargs):
     """
     import jax
 
+    # Drop any pre-existing cache first: cached_bias short-circuits on
+    # present entries, so folding over a stale cache would return it
+    # unchanged instead of recomputing from the CURRENT params.
+    variables = {k: v for k, v in variables.items() if k != "cache"}
     _, mutated = jax.jit(
         lambda v, x: model.apply(v, x, mutable=["cache"], **apply_kwargs)
     )(variables, example)

@@ -45,7 +45,10 @@ def make_serving_fn(
     _, net_w, net_h = MODEL_TYPES[cfg.model_type]
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    if fold_biases and "cache" not in variables:
+    if fold_biases:
+        # Always rebuilt from the CURRENT params (build_inference_cache
+        # discards any cache riding in `variables` — a stale one would
+        # otherwise silently serve biases from older weights).
         from .models.bias_cache import build_inference_cache
 
         example = jnp.zeros((1, 3, net_h, net_w), jnp.float32)

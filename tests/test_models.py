@@ -199,7 +199,12 @@ def test_bias_cache_matches_inline(backbone):
         **variables, "params": jax.tree_util.tree_unflatten(treedef, leaves)
     }
 
-    want = model.apply(variables, x, deterministic=True)
+    # init must NOT hand out a cache — that would bind biases to the
+    # init-time params and go stale when weights are replaced (torch
+    # import / checkpoint restore)
+    assert "cache" not in variables, "model.init must not create a cache"
+
+    want = model.apply(variables, x, deterministic=True)  # inline path
     cached_vars = build_inference_cache(
         model, variables, x, deterministic=True
     )
@@ -208,7 +213,11 @@ def test_bias_cache_matches_inline(backbone):
     for w, g in zip(
         jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)
     ):
-        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+        # the cache is built under jit, the inline path here is eager —
+        # identical math, last-ulp scheduling differences allowed
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(g), atol=1e-6, rtol=1e-6
+        )
 
     # and under jit with the cache as an argument
     jit_got = jax.jit(
@@ -220,3 +229,34 @@ def test_bias_cache_matches_inline(backbone):
         np.testing.assert_allclose(
             np.asarray(w, np.float32), np.asarray(g, np.float32), atol=1e-5
         )
+
+    # staleness guard: refolding after a weight change must track the
+    # NEW params, not return the old cache
+    leaves2 = [l * 2.0 for l in jax.tree_util.tree_leaves(cached_vars["params"])]
+    newer = {
+        **cached_vars,
+        "params": jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(cached_vars["params"]), leaves2
+        ),
+    }
+    refolded = build_inference_cache(model, newer, x, deterministic=True)
+    want2 = model.apply(
+        {k: v for k, v in newer.items() if k != "cache"}, x, deterministic=True
+    )
+    got2 = model.apply(refolded, x, deterministic=True)
+    for w, g in zip(
+        jax.tree_util.tree_leaves(want2), jax.tree_util.tree_leaves(got2)
+    ):
+        # refolding must track the NEW params...
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(g), atol=1e-5, rtol=1e-5
+        )
+    # ...i.e. the rebuilt cache arrays actually changed — a stale-cache
+    # short-circuit (the bug this machinery once had) would return the
+    # old arrays untouched
+    old_leaves = jax.tree_util.tree_leaves(cached_vars["cache"])
+    new_leaves = jax.tree_util.tree_leaves(refolded["cache"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(old_leaves, new_leaves)
+    ), "refold returned the stale cache"
