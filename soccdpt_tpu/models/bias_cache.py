@@ -21,11 +21,20 @@ after any weight update).
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
+import jax
 from flax import linen as nn
 
 Array = Any
+
+
+# static model + static kwargs: repeated folds (one per eval round)
+# reuse the same compiled executable instead of re-tracing a closure.
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _fold(model, v, x, kwargs_items):
+    return model.apply(v, x, mutable=["cache"], **dict(kwargs_items))
 
 
 def cached_bias(mod: nn.Module, name: str, compute: Callable[[], Array]) -> Array:
@@ -61,15 +70,13 @@ def build_inference_cache(model, variables, example, **apply_kwargs):
     (BEiT) are keyed by grid size, so a cache built at one input
     resolution is simply ignored at another.
     """
-    import jax
-
     # Drop any pre-existing cache first: cached_bias short-circuits on
     # present entries, so folding over a stale cache would return it
     # unchanged instead of recomputing from the CURRENT params.
     variables = {k: v for k, v in variables.items() if k != "cache"}
-    _, mutated = jax.jit(
-        lambda v, x: model.apply(v, x, mutable=["cache"], **apply_kwargs)
-    )(variables, example)
+    _, mutated = _fold(
+        model, variables, example, tuple(sorted(apply_kwargs.items()))
+    )
     # Backbones without param-derived biases (Next-ViT, hybrid, ...)
     # write nothing; flax then omits the collection entirely.
     cache = mutated.get("cache") if hasattr(mutated, "get") else None

@@ -20,6 +20,17 @@ from ..ops.resize import resize_nchw
 from .metrics import occupancy_iou, seg_iou, ssi_aligned_depth_metrics
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=0)
+def _eval_forward(model, v, image):
+    # Module-level jit with the (hashable) flax module as a static arg:
+    # repeated make_eval_forward calls across eval rounds hit the same
+    # compiled executable instead of re-tracing a fresh closure.
+    return model.apply(v, image, deterministic=True, return_raw=True)
+
+
 def make_eval_forward(model, variables) -> Callable:
     """Jitted deterministic forward returning raw (inv_depth, seg).
 
@@ -36,16 +47,12 @@ def make_eval_forward(model, variables) -> Callable:
     variables = jax.device_put(variables)
     bound = {}
 
-    @jax.jit
-    def forward(v, image):
-        return model.apply(v, image, deterministic=True, return_raw=True)
-
     def run(image):
         if "v" not in bound:
             bound["v"] = build_inference_cache(
                 model, variables, image, deterministic=True, return_raw=True
             )
-        return forward(bound["v"], image)
+        return _eval_forward(model, bound["v"], image)
 
     return run
 
