@@ -61,7 +61,9 @@ def cached_bias(mod: nn.Module, name: str, compute: Callable[[], Array]) -> Arra
     return value
 
 
-def build_inference_cache(model, variables, example, **apply_kwargs):
+def build_inference_cache(
+    model, variables, example, cache_dtype=None, **apply_kwargs
+):
     """Materialize every ``cached_bias`` value for fixed weights.
 
     Runs one (abstractly cheap) forward with ``mutable=["cache"]`` and
@@ -69,6 +71,11 @@ def build_inference_cache(model, variables, example, **apply_kwargs):
     attached. Rebuild after every weight update. Grid-dependent biases
     (BEiT) are keyed by grid size, so a cache built at one input
     resolution is simply ignored at another.
+
+    ``cache_dtype`` (e.g. ``jnp.bfloat16``) stores the folded biases in
+    a narrower dtype — halves the per-layer bias reads that dominate
+    BEiT-512 serving (PERF.md), at a ~0.4% relative perturbation of the
+    pre-softmax logits. Opt-in: parity-exact serving keeps the default.
     """
     # Drop any pre-existing cache first: cached_bias short-circuits on
     # present entries, so folding over a stale cache would return it
@@ -82,4 +89,8 @@ def build_inference_cache(model, variables, example, **apply_kwargs):
     cache = mutated.get("cache") if hasattr(mutated, "get") else None
     if not cache:
         return variables
+    if cache_dtype is not None:
+        cache = jax.tree_util.tree_map(
+            lambda a: a.astype(cache_dtype), cache
+        )
     return {**variables, "cache": cache}

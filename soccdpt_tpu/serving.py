@@ -29,6 +29,7 @@ def make_serving_fn(
     use_pallas: Optional[bool] = None,
     jit: bool = True,
     fold_biases: bool = True,
+    bias_cache_dtype: Any = None,
 ) -> Callable:
     """Build ``serve(frames_u8) -> (inv_depth, seg, points, occ|None)``.
 
@@ -53,7 +54,8 @@ def make_serving_fn(
 
         example = jnp.zeros((1, 3, net_h, net_w), jnp.float32)
         variables = build_inference_cache(
-            model, variables, example, deterministic=True, return_raw=True
+            model, variables, example, cache_dtype=bias_cache_dtype,
+            deterministic=True, return_raw=True,
         )
 
     def serve(v, frames_u8: jnp.ndarray):

@@ -260,3 +260,43 @@ def test_bias_cache_matches_inline(backbone):
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(old_leaves, new_leaves)
     ), "refold returned the stale cache"
+
+
+def test_bias_cache_dtype_option():
+    """bf16 bias cache: outputs stay close to the f32-cached forward
+    (serving knob; ~0.4% logit perturbation bound)."""
+    from soccdpt_tpu.models.backbones import make_backbone
+    from soccdpt_tpu.models.bias_cache import build_inference_cache
+
+    bb_factory, _ = make_backbone("beittest_64")
+    model = bb_factory()
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 64, 64, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    rngs = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    variables = {
+        **variables,
+        "params": jax.tree_util.tree_unflatten(
+            treedef,
+            [jax.random.normal(r, l.shape, l.dtype) * 0.05
+             for r, l in zip(rngs, leaves)],
+        ),
+    }
+    full = build_inference_cache(model, variables, x, deterministic=True)
+    half = build_inference_cache(
+        model, variables, x, cache_dtype=jnp.bfloat16, deterministic=True
+    )
+    assert all(
+        l.dtype == jnp.bfloat16
+        for l in jax.tree_util.tree_leaves(half["cache"])
+    )
+    want = model.apply(full, x, deterministic=True)
+    got = model.apply(half, x, deterministic=True)
+    for w, g in zip(
+        jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(g), atol=5e-2, rtol=5e-2
+        )
