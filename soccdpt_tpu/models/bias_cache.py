@@ -32,6 +32,9 @@ Array = Any
 
 # static model + static kwargs: repeated folds (one per eval round)
 # reuse the same compiled executable instead of re-tracing a closure.
+# NOTE: one executable per (model, shape) is retained for process
+# lifetime; long sweeps over many distinct configs can call
+# jax.clear_caches() between configs to bound it.
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _fold(model, v, x, kwargs_items):
     return model.apply(v, x, mutable=["cache"], **dict(kwargs_items))
@@ -81,9 +84,17 @@ def build_inference_cache(
     # present entries, so folding over a stale cache would return it
     # unchanged instead of recomputing from the CURRENT params.
     variables = {k: v for k, v in variables.items() if k != "cache"}
-    _, mutated = _fold(
-        model, variables, example, tuple(sorted(apply_kwargs.items()))
-    )
+    try:
+        _, mutated = _fold(
+            model, variables, example, tuple(sorted(apply_kwargs.items()))
+        )
+    except TypeError:
+        # Unhashable kwarg values (rngs dicts, arrays) can't ride the
+        # static-args executable cache; fall back to a one-off closure
+        # jit for those callers.
+        _, mutated = jax.jit(
+            lambda v, x: model.apply(v, x, mutable=["cache"], **apply_kwargs)
+        )(variables, example)
     # Backbones without param-derived biases (Next-ViT, hybrid, ...)
     # write nothing; flax then omits the collection entirely.
     cache = mutated.get("cache") if hasattr(mutated, "get") else None

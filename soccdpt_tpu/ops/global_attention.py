@@ -145,6 +145,11 @@ def _flash_forward(
         bspec = pl.BlockSpec(
             (1, bq, tp), lambda b, h, i: (h, i, 0), memory_space=pltpu.VMEM
         )
+        # Bias travels in ITS OWN dtype: the kernel upcasts each tile to
+        # f32 in VMEM, so a bf16-stored bias cache (bias_cache.py
+        # ``cache_dtype``) halves the dominant per-layer bias reads — an
+        # eager .astype(f32) here would materialize a full-width copy in
+        # HBM and forfeit the saving.
         out = pl.pallas_call(
             partial(_flash_kernel_bias, scale=scale, t_real=T),
             grid=grid,
@@ -153,7 +158,7 @@ def _flash_forward(
             out_shape=jax.ShapeDtypeStruct((B, H, tp, d), v.dtype),
             cost_estimate=cost,
             interpret=interpret,
-        )(q, k, v, bias.astype(jnp.float32))
+        )(q, k, v, bias)
     return out[:, :, :T]
 
 
