@@ -91,3 +91,36 @@ def test_beit_backbone_pallas_matches_xla():
         np.testing.assert_allclose(
             np.asarray(w), np.asarray(g), atol=5e-4, rtol=5e-4
         )
+
+
+def test_beit_backbone_pallas_gradients_match_xla():
+    """Training through the flash path: gradients w.r.t. params of the
+    BEiT test backbone match the einsum path (the custom VJP recomputes
+    with XLA, so this pins the whole module wiring, not just the
+    kernel)."""
+    from soccdpt_tpu.models.backbones import make_backbone
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 64, 64, 3)), jnp.float32
+    )
+    f_ref, _ = make_backbone("beittest_64")
+    f_pal, _ = make_backbone("beittest_64", use_pallas=True)
+    m_ref, m_pal = f_ref(), f_pal()
+    variables = m_ref.init(jax.random.PRNGKey(0), x, deterministic=True)
+
+    def loss(model):
+        def fn(params):
+            feats = model.apply(
+                {**variables, "params": params}, x, deterministic=True
+            )
+            return sum(f.astype(jnp.float32).sum() for f in feats)
+        return fn
+
+    g_ref = jax.grad(loss(m_ref))(variables["params"])
+    g_pal = jax.grad(loss(m_pal))(variables["params"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pal)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3
+        )
