@@ -300,3 +300,38 @@ def test_bias_cache_dtype_option():
         np.testing.assert_allclose(
             np.asarray(w), np.asarray(g), atol=5e-2, rtol=5e-2
         )
+
+
+def test_serving_batch_sharded_matches_unsharded():
+    """Data-parallel serving: a batch sharded over the 8-device mesh
+    yields the same outputs as unsharded serving (pjit inserts the
+    collectives; serving needs no code changes)."""
+    import jax.sharding as shd
+
+    from soccdpt_tpu.parallel import mesh as mesh_lib
+    from soccdpt_tpu.serving import make_serving_fn
+
+    cfg = tiny_cfg(version=3)
+    model = build_model(cfg)
+    x0 = jnp.zeros((1, 3, 64, 64))
+    variables = model.init(jax.random.PRNGKey(0), x0, return_raw=True)
+    serve = make_serving_fn(cfg, variables)
+
+    frames = np.random.default_rng(2).integers(
+        0, 255, (8, 48, 64, 3), dtype=np.uint8
+    )
+    want = serve(jnp.asarray(frames))
+
+    mesh = mesh_lib.make_mesh()
+    sharded = jax.device_put(
+        frames, shd.NamedSharding(mesh, shd.PartitionSpec("data"))
+    )
+    got = serve(sharded)
+    # compare the bounded outputs (disp, seg); the unprojected points
+    # amplify last-ulp bf16 differences through 1/disp near zero
+    for w, g in zip(want[:2], got[:2]):
+        np.testing.assert_allclose(
+            np.asarray(w, np.float32), np.asarray(g, np.float32),
+            atol=1e-5, rtol=1e-5,
+        )
+    assert bool(jnp.all(jnp.isfinite(got[2])))
