@@ -383,8 +383,15 @@ def import_soccdpt(
 
 
 def _conv_t(w):
-    """torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)."""
-    return np.transpose(w, (2, 3, 0, 1))
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out).
+
+    flax ``nn.ConvTranspose`` runs a fractionally-strided *correlation*
+    with the stored kernel, while torch's ConvTranspose2d computes the
+    conv gradient — spatially mirrored. The kernel must be flipped along
+    both spatial axes or every imported up-conv is wrong (caught by
+    test_vit_act_postprocess_pyramid_vs_reference; verified against
+    torch for k=s and overlapping k>s cases)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
 def _resize_rel_pos_table(

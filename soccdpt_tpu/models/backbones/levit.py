@@ -252,7 +252,12 @@ class LeViTBackbone(nn.Module):
                 new_grid = (-(-grid[0] // 2), -(-grid[1] // 2))
                 tokens = LeViTAttention(
                     dim_out=cfg.embed_dims[s + 1],
-                    num_heads=cfg.num_heads[s + 1],
+                    # timm's down_ops use embed_dim[s] // key_dim heads
+                    # (12 and 16 for levit_384), NOT the next stage's
+                    # num_heads — using num_heads[s+1] here gives wrong
+                    # kv/q param shapes vs real checkpoints. Caught by
+                    # the whole-backbone HF parity test.
+                    num_heads=cfg.embed_dims[s] // cfg.key_dim,
                     key_dim=cfg.key_dim,
                     attn_ratio=2 * cfg.attn_ratio,
                     grid=grid,

@@ -95,6 +95,12 @@ class WindowAttentionV1(nn.Module):
     dim: int
     num_heads: int
     window: Tuple[int, int]
+    # The bias-table param is sized by the CONFIGURED window (timm sizes
+    # it at construction), not the resolution-clamped effective window —
+    # otherwise the param shape would change with input size and real
+    # checkpoints could not import at non-native resolutions. A clamped
+    # effective window indexes into the center of the table.
+    table_window: Optional[Tuple[int, int]] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -111,14 +117,17 @@ class WindowAttentionV1(nn.Module):
         ) * (hd**-0.5)
 
         wh, ww = self.window
+        twh, tww = self.table_window or self.window
         table = self.param(
             "rel_pos_table",
             nn.initializers.normal(0.02),
-            ((2 * wh - 1) * (2 * ww - 1), H),
+            ((2 * twh - 1) * (2 * tww - 1), H),
         )
 
         def compute_bias():
-            rpi = jnp.asarray(relative_position_index(wh, ww).reshape(-1))
+            rpi = jnp.asarray(
+                relative_position_index(wh, ww, twh, tww).reshape(-1)
+            )
             # jnp.asarray: params may be host numpy (structural_init);
             # numpy fancy-indexing breaks under an inner trace.
             return jnp.asarray(table)[rpi].reshape(N, N, H).transpose(2, 0, 1)
@@ -171,6 +180,7 @@ class SwinV1Block(nn.Module):
         mask = None if mask_np is None else jnp.asarray(mask_np)
         win = WindowAttentionV1(
             dim=self.dim, num_heads=self.num_heads, window=(ws, ws),
+            table_window=(self.window_size, self.window_size),
             dtype=self.dtype, name="attn",
         )(win, mask)
         h = window_reverse(win, ws, ws, Hp, Wp)

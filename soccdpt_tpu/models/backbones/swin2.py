@@ -98,17 +98,27 @@ SWIN2_HOOKS = {
 
 
 @functools.lru_cache(maxsize=64)
-def relative_position_index(wh: int, ww: int) -> np.ndarray:
-    """(wh*ww, wh*ww) index into the (2wh-1)(2ww-1) relative-bias table."""
+def relative_position_index(
+    wh: int, ww: int, table_wh: Optional[int] = None, table_ww: Optional[int] = None
+) -> np.ndarray:
+    """(wh*ww, wh*ww) index into a (2table_wh-1)(2table_ww-1) relative-
+    bias table (table window defaults to the effective window).
+
+    Passing a larger table window lets a resolution-clamped effective
+    window index into the checkpoint-shaped table — the param shape must
+    not depend on the input size (timm sizes the V1 table by the
+    constructed window)."""
+    table_wh = wh if table_wh is None else table_wh
+    table_ww = ww if table_ww is None else table_ww
     coords = np.stack(
         np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
     )  # (2, wh, ww)
     flat = coords.reshape(2, -1)
     rel = flat[:, :, None] - flat[:, None, :]  # (2, N, N)
     rel = rel.transpose(1, 2, 0).astype(np.int64)
-    rel[:, :, 0] += wh - 1
-    rel[:, :, 1] += ww - 1
-    rel[:, :, 0] *= 2 * ww - 1
+    rel[:, :, 0] += table_wh - 1
+    rel[:, :, 1] += table_ww - 1
+    rel[:, :, 0] *= 2 * table_ww - 1
     return rel.sum(-1)  # (N, N)
 
 
@@ -338,7 +348,13 @@ class SwinV2Block(nn.Module):
         # shift when a single window covers the stage.
         ws = min(self.window_size, Hr, Wr)
         shift = ws // 2 if (self.shift and ws < min(Hr, Wr)) else 0
-        pws = self.pretrained_window_size if ws == self.window_size else 0
+        # timm keeps pretrained_window_size unchanged even when the
+        # window is resolution-clamped (SwinTransformerV2Block passes it
+        # straight to WindowAttention) — zeroing it here would change the
+        # CPB coords normalization for e.g. swin2b24_384 stage 3
+        # (grid 12 < window 24, pretrained 6) and break checkpoint
+        # parity. Caught by the whole-backbone HF parity test.
+        pws = self.pretrained_window_size
 
         Hp = -(-Hr // ws) * ws
         Wp = -(-Wr // ws) * ws

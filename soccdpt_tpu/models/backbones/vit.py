@@ -130,7 +130,9 @@ class TransformerBlock(nn.Module):
         hd = C // H
         B, T, _ = x.shape
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        # timm builds ViT/BEiT with LayerNorm eps 1e-6 (unlike Swin's
+        # 1e-5) — checkpoint parity requires matching it.
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         if cfg.family == "beit":
             # q/v bias only (k bias zero), like timm beit
             qkv = nn.Dense(3 * C, use_bias=False, dtype=self.dtype, name="qkv")(h)
@@ -202,7 +204,7 @@ class TransformerBlock(nn.Module):
             out = out * gamma1.astype(out.dtype)
         x = x + out
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(int(C * cfg.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(h)

@@ -261,7 +261,10 @@ def test_vit_dpt_import_roundtrip():
         return np.transpose(k, (3, 2, 0, 1))
 
     def conv_t(k):
-        return np.transpose(k, (2, 3, 0, 1))
+        # inverse of torch_import._conv_t: flax stores the spatially
+        # FLIPPED torch ConvTranspose2d kernel (correlation vs conv
+        # gradient), so flip back before the layout transpose
+        return np.transpose(np.ascontiguousarray(k[::-1, ::-1]), (2, 3, 0, 1))
 
     def dense(k):
         return np.transpose(k, (1, 0))
@@ -457,7 +460,10 @@ def test_levit_dpt_import_roundtrip():
         return np.transpose(k, (3, 2, 0, 1))
 
     def conv_t(k):
-        return np.transpose(k, (2, 3, 0, 1))
+        # inverse of torch_import._conv_t: flax stores the spatially
+        # FLIPPED torch ConvTranspose2d kernel (correlation vs conv
+        # gradient), so flip back before the layout transpose
+        return np.transpose(np.ascontiguousarray(k[::-1, ::-1]), (2, 3, 0, 1))
 
     def dense(k):
         return np.transpose(k, (1, 0))

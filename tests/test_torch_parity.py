@@ -652,3 +652,77 @@ def test_levit_attention_subsample_vs_hf():
         {"params": p, "batch_stats": s}, jnp.asarray(x), deterministic=True
     )
     np.testing.assert_allclose(np.asarray(out), _t2n(t_out), rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# ViT/BEiT act_postprocess pyramid vs the reference's OWN torch modules
+# ---------------------------------------------------------------------------
+
+
+def test_vit_act_postprocess_pyramid_vs_reference(ref):
+    """The 4-level act_postprocess pyramid (ProjectReadout + 1x1 conv +
+    4x/2x conv-transpose / stride-2 conv; reference backbones/utils.py:
+    154-269) executing in the reference's own torch code vs the flax
+    ViTBackbone pyramid, weights pushed through convert_vit_dpt_keys.
+    Combined with the whole-trunk HF test this covers the full ViT
+    backbone composition."""
+    import SOccDPT.model.backbones.utils as ref_utils
+
+    from soccdpt_tpu.core.torch_import import convert_vit_dpt_keys
+    from soccdpt_tpu.models.backbones.vit import VIT_HOOKS, make_vit_backbone
+
+    name = "vittest_64"
+    hooks = VIT_HOOKS[name]
+    factory, post_channels = make_vit_backbone(name, use_pallas=False)
+    model = factory()
+    C = model.cfg.embed_dim
+    gh = gw = 64 // model.cfg.patch_size
+
+    # reference builder needs only .blocks for hook registration
+    dummy = tnn.Module()
+    dummy.blocks = tnn.ModuleList([tnn.Identity() for _ in range(4)])
+    torch.manual_seed(7)
+    pretrained = ref_utils.make_backbone_default(
+        dummy,
+        features=list(post_channels),
+        size=[gh * 16, gw * 16],  # size//16 == our patch grid
+        hooks=[0, 1, 2, 3],
+        vit_features=C,
+        use_readout="project",
+    )
+    posts = [getattr(pretrained, f"act_postprocess{k}") for k in (1, 2, 3, 4)]
+
+    # flax backbone with random trunk + IMPORTED pyramid weights
+    x = jnp.asarray(_feat((2, 64, 64, 3), 99))
+    variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+    sd = {}
+    for k, post in enumerate(posts, start=1):
+        for pname, t in post.state_dict().items():
+            sd[f"pretrained.act_postprocess{k}.{pname}"] = _t2n(t)
+    p, _ = convert_vit_dpt_keys(sd)
+    nested = _nest({key[1:]: v for key, v in p.items()})  # strip "backbone"
+    params = merge_into(
+        jax.device_get(variables["params"]), nested, verbose=False
+    )
+    variables = {"params": params}
+
+    feats, inter = model.apply(
+        variables,
+        x,
+        deterministic=True,
+        capture_intermediates=lambda mod, method: (
+            method == "__call__" and (mod.name or "").startswith("block")
+        ),
+        mutable=["intermediates"],
+    )
+
+    for lvl, (h, got) in enumerate(zip(hooks, feats)):
+        tokens = np.asarray(
+            inter["intermediates"][f"block{h}"]["__call__"][0]
+        )
+        with torch.no_grad():
+            want = posts[lvl](torch.tensor(tokens))
+        np.testing.assert_allclose(
+            _nchw(got), _t2n(want), rtol=RTOL, atol=ATOL,
+            err_msg=f"act_postprocess{lvl + 1}",
+        )
