@@ -115,8 +115,11 @@ def train_one(
         mcfg_kw["camera"] = camera
     mcfg = ModelConfig(**mcfg_kw)
 
-    mesh = mesh_lib.mesh_for_batch(tcfg.batch_size)
+    # tp > 1 -> (data, model) mesh built by the Trainer itself; tp == 1
+    # -> 1-D data mesh over the largest batch-dividing device count.
+    mesh = None if tcfg.tp > 1 else mesh_lib.mesh_for_batch(tcfg.batch_size)
     trainer = Trainer(mcfg, tcfg, mesh, use_pallas=use_pallas)
+    print(f"mesh: {dict(trainer.mesh.shape)}")
 
     sample = train_set[0]
     state = trainer.init_state(
@@ -142,11 +145,17 @@ def train_one(
             from ..core.checkpoint import restore_checkpoint
 
             restored = restore_checkpoint(tcfg.load)
+            # weights only, fresh optimizer — the reference's --load
+            # semantics (base_model.load_net); exact resume incl.
+            # opt_state goes through restore_checkpoint with a target
             state = dataclasses.replace(
                 state,
                 params=restored["params"],
                 batch_stats=restored.get("batch_stats", state.batch_stats),
             )
+        # restored/imported leaves are host or foreign-topology arrays —
+        # place them onto this trainer's mesh (tp rules included)
+        state = trainer.reshard_state(state)
 
     writer = MetricWriter(log_dir=log_dir, run_id=run_id)
     timer = StepTimer()
@@ -269,6 +278,14 @@ def main(argv=None):
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--use_pallas", action="store_true")
     parser.add_argument("--log_dir", default="logs")
+    parser.add_argument(
+        "--tp",
+        type=int,
+        default=1,
+        help="tensor-parallel axis size: devices form a (data, model) "
+        "mesh with model=TP; large weight matrices shard over 'model' "
+        "(parallel/sharding.py) and XLA inserts the ICI collectives",
+    )
     args = parser.parse_args(argv)
 
     sweep = SweepConfig.load(args.sweep_json)

@@ -31,11 +31,18 @@ def _ocp():
 
 
 def save_checkpoint(path: str, state: Dict[str, PyTree]) -> None:
-    """Save a pytree dict (params / batch_stats / opt_state / step)."""
+    """Save a pytree dict (params / batch_stats / opt_state / step).
+
+    Arrays are handed to orbax as-is — NO host gather: device_get on a
+    tp-sharded tree would materialize every full array on one host and
+    defeat sharded/multi-host checkpointing; orbax writes global arrays
+    from their shards directly. Restore side is topology-free (host
+    arrays), re-placed onto the target mesh by
+    ``Trainer.reshard_state``."""
     ocp = _ocp()
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(path, state, force=True)
 
 
 def restore_checkpoint(path: str, target: Optional[Dict[str, PyTree]] = None):

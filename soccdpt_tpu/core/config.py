@@ -218,6 +218,16 @@ class TrainConfig:
     gt_downscale: int = 1
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel axis sizes
     mesh_axes: Tuple[str, ...] = ("data",)
+    # Tensor-parallel axis size: devices arrange as a (data, model) mesh
+    # with model=tp; large weight matrices shard over "model"
+    # (parallel/sharding.param_sharding_rules) and XLA inserts the ICI
+    # collectives. 1 = pure data parallel (the production default at
+    # this model scale, SURVEY.md §2.5).
+    tp: int = 1
+    # Leaves smaller than this stay replicated under tp>1 (sharding tiny
+    # tensors costs more in collectives than it saves in HBM). Tests and
+    # the driver dryrun lower it so tiny models still exercise sharding.
+    tp_min_size: int = 2**16
     remat_backbone: bool = False  # jax.checkpoint on backbone stages
     log_histograms: bool = False  # per-leaf weight stats at eval rounds
     log_visuals: bool = True  # eval-round visualization panels

@@ -110,7 +110,7 @@ class Trainer:
         # ops/window_attention.pallas_window_attention)
         self.mcfg = mcfg
         self.tcfg = tcfg
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.mesh = mesh if mesh is not None else self._default_mesh(tcfg)
         self.model = build_model(
             mcfg, use_pallas=use_pallas, remat=tcfg.remat_backbone
         )
@@ -122,32 +122,114 @@ class Trainer:
 
     # -- initialization ------------------------------------------------
 
+    @staticmethod
+    def _default_mesh(tcfg: TrainConfig) -> Mesh:
+        """(data, model) mesh from ``tcfg.tp``; pure data-parallel 1-D
+        mesh when tp == 1."""
+        tp = max(int(tcfg.tp), 1)
+        if tp == 1:
+            return mesh_lib.mesh_for_batch(tcfg.batch_size)
+        devices = jax.devices()
+        if len(devices) % tp != 0:
+            raise ValueError(
+                f"tp={tp} does not divide device count {len(devices)}"
+            )
+        dp = len(devices) // tp
+        # the data axis must divide the global batch
+        while dp > 1 and tcfg.batch_size % dp != 0:
+            dp -= 1
+        return mesh_lib.make_mesh(
+            shape=(dp, tp),
+            axes=(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS),
+            devices=devices[: dp * tp],
+        )
+
+    def param_shardings(self, params: PyTree) -> PyTree:
+        """NamedSharding tree for params on this trainer's mesh: weight
+        matrices sharded over the ``model`` axis when it exists
+        (parallel/sharding.py), everything replicated otherwise."""
+        from ..parallel.sharding import param_sharding_rules
+
+        return param_sharding_rules(
+            params, self.mesh, min_size=self.tcfg.tp_min_size
+        )
+
+    def reshard_state(self, state: TrainState) -> TrainState:
+        """Place an arbitrarily-placed state (fresh init, checkpoint
+        restored from another mesh topology, torch import) onto THIS
+        trainer's mesh: params per the tp rules, Adam moments matched to
+        their params' shardings, batch_stats and step replicated. This
+        is what makes cross-topology restore (8x1 ckpt -> 4x2 mesh and
+        vice versa) a product feature."""
+        rules = self.param_shardings(state.params)
+        params = jax.tree_util.tree_map(jax.device_put, state.params, rules)
+        repl = NamedSharding(self.mesh, P())
+
+        # Moment trees (mu/nu) embed the params dict structure, so a
+        # moment leaf's path SUFFIX equals its param's path; scalars
+        # (count, hyperparams) match nothing and replicate.
+        param_shapes = {
+            path: np.shape(leaf)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(state.params)
+        }
+        rule_by_path = {
+            path: s
+            for path, s in jax.tree_util.tree_leaves_with_path(rules)
+        }
+
+        def place_opt_leaf(path, leaf):
+            for i in range(len(path)):
+                suffix = tuple(path[i:])
+                s = rule_by_path.get(suffix)
+                if s is not None and param_shapes.get(suffix) == np.shape(leaf):
+                    return jax.device_put(leaf, s)
+            return jax.device_put(leaf, repl)
+
+        opt_state = jax.tree_util.tree_map_with_path(
+            place_opt_leaf, state.opt_state
+        )
+        return TrainState(
+            step=jax.device_put(state.step, repl),
+            params=params,
+            batch_stats=jax.device_put(state.batch_stats, repl),
+            opt_state=opt_state,
+        )
+
     def init_state(self, rng: jax.Array, sample_image: np.ndarray) -> TrainState:
         variables = self.model.init(
             rng, jnp.asarray(sample_image), deterministic=True, return_raw=True
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        opt_state = self.tx.init(params)
+        # Tensor-parallel placement is part of the product path (not a
+        # dryrun-only hand-wire): params go onto the mesh per the tp
+        # rules BEFORE the optimizer init, so the Adam moments inherit
+        # the same shardings (zeros_like under jit follows its input).
+        params = jax.tree_util.tree_map(
+            jax.device_put, params, self.param_shardings(params)
+        )
+        opt_state = jax.jit(self.tx.init)(params)
         # Encoder freeze + patchwise partition (reference
         # train_SOccDPT.py:262-263, 362-364).
         self.trainable_mask = encoder_mask(params, self.tcfg.encoder_percentage)
         self.masks = patch_masks(
             self.trainable_mask, self.tcfg.patchwise_percentage
         )
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
+        repl = NamedSharding(self.mesh, P())
+        return TrainState(
+            step=jax.device_put(jnp.zeros((), jnp.int32), repl),
             params=params,
-            batch_stats=batch_stats,
+            batch_stats=jax.device_put(batch_stats, repl),
             opt_state=opt_state,
-        )
-        return jax.device_put(
-            state, NamedSharding(self.mesh, P())
         )
 
     # -- train step ----------------------------------------------------
 
-    def _build_step(self, patch_index: int, donate: bool = True) -> Callable:
+    def build_step_fn(self, patch_index: int) -> Callable:
+        """The PURE train-step function (state, batch, rng) -> (state,
+        metrics) for one patch mask — un-jitted, so callers can compose
+        it (chained device-roofline timing in scripts/train_roofline.py,
+        custom jits). ``_build_step`` wraps it in jit for the train loop."""
         mask = self.masks[patch_index]
         model = self.model
         tx = self.tx
@@ -180,7 +262,6 @@ class Trainer:
             )
             return total, (aux, updates.get("batch_stats", batch_stats))
 
-        @partial(jax.jit, donate_argnums=(0,) if donate else ())
         def train_step(state: TrainState, batch, rng):
             (loss, (aux, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -203,6 +284,12 @@ class Trainer:
             )
 
         return train_step
+
+    def _build_step(self, patch_index: int, donate: bool = True) -> Callable:
+        return jax.jit(
+            self.build_step_fn(patch_index),
+            donate_argnums=(0,) if donate else (),
+        )
 
     def train_step(
         self, state: TrainState, batch: Dict[str, np.ndarray], rng: jax.Array
