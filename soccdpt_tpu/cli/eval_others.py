@@ -3,11 +3,14 @@
 The reference wraps seven external torch-hub depth estimators (MiDaS
 DPTs, monodepth2, manydepth, zerodepth, packnet) behind one interface so
 all are scored with identical metrics (reference eval_others.py:42-51).
-This environment has no model-hub egress, so the harness generalizes
-the pattern: a *registry of depth-model adapters* — every in-tree model
-type, plus arbitrary user models via ``--adapter module:function``
-(the function returns ``fn(images_nchw_f32) -> disparity (B, H, W)``) —
-all evaluated with the same SSI-aligned masked depth metrics.
+The registry here covers all of them (``EXTERNAL_BASELINES``,
+hub-gated: weights load lazily and a clear RuntimeError is raised when
+hub/network/package is unavailable — this environment has no egress)
+plus everything the reference cannot score: every in-tree model type,
+exported artifacts (``stablehlo:<path>`` / ``onnx:<path>``), and
+arbitrary user models via ``module.path:function`` adapter specs (the
+function returns ``fn(images_nchw_f32) -> disparity (B, H, W)``) — all
+evaluated with the same SSI-aligned masked depth metrics.
 """
 from __future__ import annotations
 
@@ -119,6 +122,181 @@ def load_adapter(spec: str) -> Callable:
     return getattr(mod, rest)()
 
 
+# ---------------------------------------------------------------------------
+# External torch-hub baselines — the reference's seven wrappers
+# (reference eval_others.py:42-51, 71-200). Every adapter is hub-gated:
+# it imports torch and loads weights lazily on first call and raises a
+# clear RuntimeError when the hub/network/package is unavailable (this
+# environment has no egress). Each wrapper owns its preprocessing, like
+# the reference's per-model ``self.transform``; adapters here consume
+# RAW uint8 HWC frames (``wants_raw``) rather than SOccDPT-normalized
+# tensors.
+# ---------------------------------------------------------------------------
+
+EXTERNAL_BASELINES = {
+    # midas family (reference eval_others.py:71-118)
+    "DPT_SwinV2_T_256": {"kind": "midas", "transform": "swin256_transform"},
+    # NOTE the reference applies swin256_transform to Hybrid/Large too
+    # (eval_others.py:90-118) — that is the wrong normalization for
+    # those models (MiDaS ships dpt_transform for them); we use the
+    # correct one rather than replicate the defect (SURVEY.md §2.6).
+    "DPT_Hybrid": {"kind": "midas", "transform": "dpt_transform"},
+    "DPT_Large": {"kind": "midas", "transform": "dpt_transform"},
+    # monodepth2 / manydepth (reference eval_others.py:120-155)
+    "monodepth2": {"kind": "monodepth2", "model_name": "mono_640x192"},
+    "manydepth": {
+        "kind": "manydepth",
+        "model_name": "KITTI_HR_1024_320",
+        "intrinsics_json_path": "media/manydepth/intrinsics.json",
+    },
+    # TRI-ML/vidar models output DEPTH -> invert to disparity
+    # (reference eval_others.py:157-199, 228-241: inv_depth.pow_(-1))
+    "zerodepth": {"kind": "vidar", "entry": "ZeroDepth", "scale": 0.5},
+    "packnet": {"kind": "vidar", "entry": "PackNet", "resize": (640, 384)},
+}
+
+
+def _require_torch(name: str):
+    try:
+        import torch  # noqa: F401
+
+        return torch
+    except ImportError as e:  # pragma: no cover - torch is baked in here
+        raise RuntimeError(f"external baseline {name!r} requires torch") from e
+
+
+def _hub_load(torch, name, *args, **kwargs):
+    """torch.hub.load with a clean failure when the hub is unreachable."""
+    try:
+        return torch.hub.load(*args, **kwargs)
+    except Exception as e:
+        raise RuntimeError(
+            f"external baseline {name!r} needs torch.hub access "
+            f"({args[0]}), which is unavailable here: {e}"
+        ) from e
+
+
+def external_adapter(name: str, camera=None) -> Callable:
+    """Adapter for one of the reference's external baselines.
+
+    Returns ``fn(raw_hwc_uint8) -> disparity (1, H', W') float32``;
+    the fn carries ``wants_raw = True`` so the harness feeds raw frames
+    (each wrapper owns its preprocessing, like the reference's
+    per-model ``self.transform``).
+    """
+    spec = EXTERNAL_BASELINES[name]
+    torch = _require_torch(name)
+    state: Dict[str, object] = {}
+    kind = spec["kind"]
+
+    def ensure_loaded():
+        if "model" in state:
+            return
+        if kind == "midas":
+            state["model"] = _hub_load(
+                torch, name, "intel-isl/MiDaS", name
+            ).eval()
+            transforms = _hub_load(
+                torch, name, "intel-isl/MiDaS", "transforms"
+            )
+            state["transform"] = getattr(transforms, spec["transform"])
+        elif kind == "monodepth2":
+            try:
+                from monodepth2 import monodepth2
+            except ImportError as e:
+                raise RuntimeError(
+                    "baseline 'monodepth2' requires the monodepth2 "
+                    "package (github.com/nianticlabs/monodepth2 wrapper), "
+                    "not installed here"
+                ) from e
+            state["model"] = monodepth2(model_name=spec["model_name"])
+        elif kind == "manydepth":
+            try:
+                from manydepth import manydepth
+            except ImportError as e:
+                raise RuntimeError(
+                    "baseline 'manydepth' requires the manydepth package, "
+                    "not installed here"
+                ) from e
+            state["model"] = manydepth(
+                model_name=spec["model_name"],
+                intrinsics_json_path=spec["intrinsics_json_path"],
+            )
+        elif kind == "vidar":
+            state["model"] = _hub_load(
+                torch,
+                name,
+                "TRI-ML/vidar",
+                spec["entry"],
+                pretrained=True,
+                trust_repo=True,
+            ).eval()
+        else:  # pragma: no cover
+            raise ValueError(kind)
+
+    def _resize_hwc(img: np.ndarray, wh) -> np.ndarray:
+        import cv2
+
+        return cv2.resize(img, tuple(wh))  # cv2 dsize = (W, H)
+
+    def fn(raw: np.ndarray) -> np.ndarray:
+        """raw: (H, W, 3) uint8 RGB frame."""
+        ensure_loaded()
+        with torch.no_grad():
+            if kind == "midas":
+                t = state["transform"](np.asarray(raw))
+                inv = state["model"](t)
+                return np.asarray(inv, np.float32).reshape(
+                    1, *inv.shape[-2:]
+                )
+            if kind == "monodepth2":
+                img = _resize_hwc(np.asarray(raw, np.uint8), (640, 192))
+                disp = np.asarray(state["model"].eval(img), np.float32)
+                return disp[None, :, :, 0]
+            if kind == "manydepth":
+                img = _resize_hwc(np.asarray(raw, np.uint8), (1024, 320))
+                disp = np.asarray(state["model"].eval(img, img), np.float32)
+                return disp[None]
+            # vidar family: normalized CHW in, DEPTH out -> invert
+            img = np.asarray(raw, np.float32)
+            if "scale" in spec:
+                s = spec["scale"]
+                img = _resize_hwc(
+                    img.astype(np.uint8),
+                    (int(img.shape[1] * s), int(img.shape[0] * s)),
+                ).astype(np.float32)
+            else:
+                img = _resize_hwc(img.astype(np.uint8), spec["resize"]).astype(
+                    np.float32
+                )
+            x = torch.tensor(img.transpose(2, 0, 1)[None] / 255.0)
+            if spec["entry"] == "ZeroDepth":
+                cam = camera
+                if cam is None:
+                    from ..core.config import CameraConfig
+
+                    cam = CameraConfig()
+                k = np.asarray(
+                    [
+                        [cam.fx, 0.0, cam.cx],
+                        [0.0, cam.fy, cam.cy],
+                        [0.0, 0.0, 1.0],
+                    ],
+                    np.float32,
+                ) * spec["scale"]
+                k[2, 2] = 1.0
+                intr = torch.tensor(k[None])
+                depth = state["model"](x, intr).squeeze(0)
+            else:
+                depth = state["model"](x)[0].squeeze(0)
+            depth = np.asarray(depth, np.float32).reshape(1, *x.shape[-2:])
+            return 1.0 / np.maximum(depth, 1e-8)
+
+    fn.wants_raw = True
+    fn.baseline_name = name
+    return fn
+
+
 def evaluate_adapter(
     adapter: Callable, dataset, max_samples: int = 10
 ) -> Dict[str, float]:
@@ -129,7 +307,12 @@ def evaluate_adapter(
     n = min(max_samples, len(dataset))
     for i in range(n):
         s = dataset[i]
-        disp = adapter(s["image"][None])
+        if getattr(adapter, "wants_raw", False):
+            # external baselines own their preprocessing (reference
+            # eval_others.py per-model self.transform): raw uint8 HWC in
+            disp = adapter(np.asarray(s["image_raw"]))
+        else:
+            disp = adapter(s["image"][None])
         gt = np.asarray(s["disparity"], np.float32)[None]
         mask = np.asarray(s["mask_disp"], bool)[None]
         pred = np.asarray(
@@ -160,7 +343,24 @@ def main(argv=None):
         default=os.path.expanduser("~/Datasets/Depth_Dataset_Bengaluru"),
     )
     parser.add_argument("--num_samples", type=int, default=10)
+    parser.add_argument(
+        "--list",
+        action="store_true",
+        help="print the adapter registry (in-tree model types, external "
+        "hub baselines, file schemes) and exit",
+    )
     args = parser.parse_args(argv)
+
+    if args.list:
+        from ..core.config import MODEL_TYPES
+
+        print(json.dumps({
+            "in_tree": sorted(MODEL_TYPES),
+            "external": sorted(EXTERNAL_BASELINES),
+            "file_schemes": ["stablehlo:<path>", "onnx:<path>"],
+            "custom": "module.path:function",
+        }, indent=2))
+        return
 
     tcfg = TrainConfig(dataset=args.dataset, base_path=args.base_path)
     # transforms keyed by the first in-tree model; adapters receive the
@@ -168,10 +368,15 @@ def main(argv=None):
     first = next((m for m in args.models if ":" not in m), "dpt_swin2_tiny_256")
     dataset, _, _ = build_datasets(tcfg, first)
 
+    from .train import dataset_camera
+
     for spec in args.models:
-        adapter = (
-            load_adapter(spec) if ":" in spec else builtin_adapter(spec)
-        )
+        if spec in EXTERNAL_BASELINES:
+            adapter = external_adapter(spec, camera=dataset_camera(dataset))
+        elif ":" in spec:
+            adapter = load_adapter(spec)
+        else:
+            adapter = builtin_adapter(spec)
         metrics = evaluate_adapter(adapter, dataset, args.num_samples)
         print(json.dumps({"model": spec, **metrics}))
 

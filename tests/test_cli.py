@@ -244,3 +244,130 @@ def test_eval_timing_cli_params_as_argument():
     assert len(rows) == 1
     assert rows[0]["model_type"] == "dpt_swin2_test_64"
     assert rows[0]["hz"] > 0
+
+
+def test_eval_others_external_registry_lists_reference_baselines():
+    """The registry must cover all seven reference wrappers
+    (reference eval_others.py:42-51)."""
+    from soccdpt_tpu.cli.eval_others import EXTERNAL_BASELINES
+
+    assert set(EXTERNAL_BASELINES) == {
+        "DPT_SwinV2_T_256", "DPT_Hybrid", "DPT_Large",
+        "monodepth2", "manydepth", "zerodepth", "packnet",
+    }
+
+
+def test_eval_others_midas_adapter_mocked_hub(monkeypatch, bdd_tree):
+    """Exercise the MiDaS wrapper code path end-to-end (hub mocked:
+    no network in this environment): raw frame -> hub transform ->
+    model -> (1, H', W') disparity -> shared SSI metrics."""
+    import torch
+
+    from soccdpt_tpu.cli.eval_others import evaluate_adapter, external_adapter
+    from soccdpt_tpu.cli.train import build_datasets
+    from soccdpt_tpu.core.config import TrainConfig
+
+    class FakeMidas(torch.nn.Module):
+        def forward(self, x):  # (B, 3, H, W) -> (B, H, W) inverse depth
+            return x.abs().mean(dim=1) + 0.1
+
+    class FakeTransforms:
+        @staticmethod
+        def swin256_transform(img):
+            t = torch.tensor(
+                np.asarray(img, np.float32).transpose(2, 0, 1)[None] / 255.0
+            )
+            return torch.nn.functional.interpolate(
+                t, size=(256, 256), mode="bilinear", align_corners=False
+            )
+
+        dpt_transform = swin256_transform
+
+    calls = []
+
+    def fake_hub_load(repo, name, *a, **k):
+        calls.append((repo, name))
+        assert repo == "intel-isl/MiDaS"
+        return FakeTransforms() if name == "transforms" else FakeMidas()
+
+    monkeypatch.setattr(torch.hub, "load", fake_hub_load)
+
+    tcfg = TrainConfig(dataset="bdd", base_path=bdd_tree)
+    dataset, _, _ = build_datasets(tcfg, "dpt_swin2_test_64")
+    adapter = external_adapter("DPT_SwinV2_T_256")
+    assert adapter.wants_raw
+    metrics = evaluate_adapter(adapter, dataset, max_samples=2)
+    assert "rmse" in metrics and np.isfinite(metrics["rmse"])
+    assert ("intel-isl/MiDaS", "DPT_SwinV2_T_256") in calls
+
+
+def test_eval_others_vidar_adapters_mocked_hub(monkeypatch, bdd_tree):
+    """zerodepth/packnet wrappers: vidar models emit DEPTH; the adapter
+    must resize+normalize per the reference's transforms, thread camera
+    intrinsics (zerodepth), and invert to disparity
+    (reference eval_others.py:157-199, 228-241)."""
+    import torch
+
+    from soccdpt_tpu.cli.eval_others import evaluate_adapter, external_adapter
+    from soccdpt_tpu.cli.train import build_datasets, dataset_camera
+    from soccdpt_tpu.core.config import TrainConfig
+
+    seen = {}
+
+    class FakeZeroDepth(torch.nn.Module):
+        def forward(self, x, intrinsics):
+            seen["intrinsics"] = np.asarray(intrinsics)
+            seen["zx"] = np.asarray(x)
+            return torch.full((1, 1, x.shape[2], x.shape[3]), 2.0)
+
+    class FakePackNet(torch.nn.Module):
+        def forward(self, x):
+            seen["px"] = np.asarray(x)
+            return [torch.full((1, 1, x.shape[2], x.shape[3]), 4.0)]
+
+    def fake_hub_load(repo, name, *a, **k):
+        assert repo == "TRI-ML/vidar"
+        return FakeZeroDepth() if name == "ZeroDepth" else FakePackNet()
+
+    monkeypatch.setattr(torch.hub, "load", fake_hub_load)
+
+    tcfg = TrainConfig(dataset="bdd", base_path=bdd_tree)
+    dataset, _, _ = build_datasets(tcfg, "dpt_swin2_test_64")
+    cam = dataset_camera(dataset)
+
+    z = external_adapter("zerodepth", camera=cam)
+    disp = z(np.asarray(dataset[0]["image_raw"]))
+    np.testing.assert_allclose(disp, 0.5)  # depth 2.0 -> disparity 0.5
+    # intrinsics scaled by the reference's 0.5 image scale, K[2,2] kept 1
+    K = seen["intrinsics"][0]
+    assert K[0, 0] == pytest.approx(cam.fx * 0.5)
+    assert K[2, 2] == pytest.approx(1.0)
+    assert seen["zx"].max() <= 1.0  # /255 normalization applied
+
+    p = external_adapter("packnet")
+    disp = p(np.asarray(dataset[0]["image_raw"]))
+    np.testing.assert_allclose(disp, 0.25)  # depth 4.0 -> disparity 0.25
+    assert seen["px"].shape[-2:] == (384, 640)  # reference resize (640, 384)
+
+    metrics = evaluate_adapter(z, dataset, max_samples=1)
+    assert np.isfinite(metrics["rmse"])
+
+
+def test_eval_others_pkg_gated_adapters_clear_error(monkeypatch):
+    """monodepth2/manydepth need packages absent here: the adapter must
+    raise a clear RuntimeError naming the requirement on first use, not
+    an ImportError at registry time."""
+    from soccdpt_tpu.cli.eval_others import external_adapter
+
+    for name in ("monodepth2", "manydepth"):
+        adapter = external_adapter(name)  # construction must not raise
+        with pytest.raises(RuntimeError, match=name):
+            adapter(np.zeros((32, 48, 3), np.uint8))
+
+
+def test_eval_others_list_registry(capsys):
+    from soccdpt_tpu.cli.eval_others import main
+
+    main(["--list"])
+    out = capsys.readouterr().out
+    assert "zerodepth" in out and "stablehlo" in out
