@@ -69,7 +69,8 @@ def main() -> None:
     # Two weight-binding modes. Default: weights BAKED into the program
     # as constants — the serving-artifact deployment mode (the reference
     # bakes weights into its ONNX export the same way); XLA constant-
-    # folds weight layouts, worth ~10% per forward. BENCH_WEIGHT_ARGS=1
+    # folds weight layouts, measured worth ~5% per forward (PERF.md:
+    # 833 Hz baked vs 790-798 Hz argument mode). BENCH_WEIGHT_ARGS=1
     # passes the tree as a jit argument instead (the only mode that
     # compiles for 200M+ param models through the remote-compile
     # transport — see utils/timing.py).

@@ -116,13 +116,22 @@ def main(argv=None):
 
     # ---- FPS (eval_SOccDPT.py:247-259) ----
     if not args.skip_fps:
+        # Fold param-derived attention biases first so the measured rate
+        # matches eval_timing/serving (folding is -51% device time on the
+        # flagship single dispatch, PERF.md); timing the raw apply would
+        # report a materially different Hz for the same model.
+        from ..models.bias_cache import build_inference_cache
+
+        cached_vars = build_inference_cache(
+            model, variables, x0, deterministic=True, return_raw=True
+        )
         hz, dt = measure_forward_hz(
             lambda v, x: model.apply(
                 v, x, deterministic=True, return_raw=True
             )[0],
             x0,
             batch=1,
-            params=variables,
+            params=cached_vars,
         )
         print(f"FPS (batch=1): {hz:.1f} Hz ({dt * 1e3:.2f} ms/forward)")
 

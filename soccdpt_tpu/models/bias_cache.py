@@ -32,12 +32,24 @@ Array = Any
 
 # static model + static kwargs: repeated folds (one per eval round)
 # reuse the same compiled executable instead of re-tracing a closure.
-# NOTE: one executable per (model, shape) is retained for process
-# lifetime; long sweeps over many distinct configs can call
-# jax.clear_caches() between configs to bound it.
+# NOTE: one executable per (model, shape) is retained; long-lived
+# processes sweeping many distinct configs (multi-model serving) should
+# call clear_fold_cache() between configs to bound the retained memory.
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _fold(model, v, x, kwargs_items):
     return model.apply(v, x, mutable=["cache"], **dict(kwargs_items))
+
+
+def clear_fold_cache() -> None:
+    """Drop every retained fold executable.
+
+    ``_fold`` keeps one compiled executable per (model, input shape) for
+    reuse across eval rounds; a process that binds many distinct model
+    configs (a multi-model server, a timing sweep) accumulates them.
+    Call this between configs — it clears only the fold cache, unlike
+    the ``jax.clear_caches()`` sledgehammer.
+    """
+    _fold.clear_cache()
 
 
 def cached_bias(mod: nn.Module, name: str, compute: Callable[[], Array]) -> Array:

@@ -96,7 +96,9 @@ def _head_tail_kernel(
     # Mosaic AOT compile crashes (empirically bisected; the working
     # fused_fusion kernel uses the same 8-aligned halo)
     w2_ref, b2_ref,  # conv3x3 (9, Ci, Cm) / (1, Cm)
-    w3_ref, b3_ref,  # conv1x1 lane-padded (Cm, 128) / (1, 128)
+    w3_ref, b3_ref,  # conv1x1 (1, Cm) / (1, 1) — see w3r/b3r in
+    # _fused_head_tail_fwd; the single output channel rides the
+    # sublane, not a lane-padded tile
     out_ref,  # (1, 2TH, 2TW)
     scratch_x,  # (TH+8, TW+8, Ci)
     sem,

@@ -177,8 +177,10 @@ def test_serve_stream_matches_sequential():
 )
 def test_bias_cache_matches_inline(backbone):
     """Folding param-derived attention biases at bind time
-    (models/bias_cache.py) must not change the forward by a single bit,
-    for every backbone family that gathers a bias table."""
+    (models/bias_cache.py) must leave the forward numerically identical
+    up to compiler-scheduling ulps (the cached and inline paths are
+    separate compiled graphs, so bit-exactness is not guaranteed), for
+    every backbone family that gathers a bias table."""
     from soccdpt_tpu.models.backbones import make_backbone
     from soccdpt_tpu.models.bias_cache import build_inference_cache
 
