@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Per-HLO-op xprof profile of (a) the compute_occ=True full contract or
+(b) one full train step, on the real TPU.
+
+Round-3 measurements: the occ contract runs at ~12 Hz (85 ms) vs 830 Hz
+without the grid, and the device-side train step is 71 ms vs a 1.1 ms
+forward — this script attributes both.
+
+Usage:
+  timeout 1800 python scripts/profile_step.py --what occ
+  timeout 1800 python scripts/profile_step.py --what train [--gt_downscale 2]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_and_print(logdir: str, iters: int, top: int, stage_of):
+    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    if not xplanes:
+        raise SystemExit(f"no xplane.pb under {logdir}")
+    from xprof.convert import raw_to_tool_data as rtd
+
+    data, _ = rtd.xspace_to_tool_data(xplanes, "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    tables = json.loads(data)
+    table = tables[0] if isinstance(tables, list) else tables
+    cols = [c["id"] for c in table["cols"]]
+    ops = []
+    for r in table["rows"]:
+        rec = {k: (c or {}).get("v") for k, c in zip(cols, r["c"])}
+        if "host_or_device" in rec and rec["host_or_device"] != "Device":
+            continue
+        rec["op_name"] = rec.get("tf_op_name") or rec.get("operation") or ""
+        rec["op_type"] = rec.get("category") or rec.get("type") or "?"
+        ops.append(rec)
+
+    by_stage = collections.defaultdict(float)
+    by_type = collections.defaultdict(float)
+    total = 0.0
+    for rec in ops:
+        t = float(rec.get("total_self_time") or 0.0) / iters
+        by_stage[stage_of(rec["op_name"], rec["op_type"])] += t
+        by_type[rec["op_type"]] += t
+        total += t
+    print(f"\n=== per-iter device time: {total:.1f} us ===")
+    print("\n-- by stage --")
+    for k, v in sorted(by_stage.items(), key=lambda kv: -kv[1]):
+        print(f"{k:16s} {v:10.2f} us  {100 * v / total:5.1f}%")
+    print(f"\n-- top {top} ops (us/iter, self time) --")
+    ops.sort(key=lambda r: -float(r.get("total_self_time") or 0))
+    for rec in ops[:top]:
+        t = float(rec.get("total_self_time") or 0.0) / iters
+        bw = rec.get("measured_memory_bw") or 0.0
+        print(
+            f"{t:9.2f}us  bw={bw:7.1f}GB/s "
+            f"[{rec['op_type']}] {rec['op_name'][:120]}"
+        )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", choices=["occ", "train"], default="occ")
+    ap.add_argument("--model_type", default="dpt_swin2_tiny_256")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--train_batch", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--top", type=int, default=35)
+    ap.add_argument("--gt_downscale", type=int, default=1)
+    ap.add_argument("--logdir", default="/tmp/step_profile")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from soccdpt_tpu.core.config import MODEL_TYPES, ModelConfig, TrainConfig
+    from soccdpt_tpu.models.soccdpt import build_model
+    from soccdpt_tpu.utils.fake_init import structural_init
+
+    _, w, h = MODEL_TYPES[args.model_type]
+
+    if args.what == "occ":
+        mcfg = ModelConfig(
+            model_type=args.model_type, version=3, compute_dtype="bfloat16"
+        )
+        model = build_model(mcfg)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((args.batch, 3, h, w)),
+            jnp.float32,
+        )
+        variables = jax.device_put(
+            structural_init(model, x, deterministic=True, return_raw=True)
+        )
+        from soccdpt_tpu.models.bias_cache import build_inference_cache
+
+        variables = build_inference_cache(
+            model, variables, x, deterministic=True, return_raw=True
+        )
+
+        @jax.jit
+        def fn(v, inp):
+            return model.apply(
+                v, inp, deterministic=True, return_raw=False, compute_occ=True
+            )
+
+        jax.block_until_ready(fn(variables, x))
+        jax.block_until_ready(fn(variables, x))
+        shutil.rmtree(args.logdir, ignore_errors=True)
+        with jax.profiler.trace(args.logdir):
+            for _ in range(args.iters):
+                out = fn(variables, x)
+            jax.block_until_ready(out)
+
+        def stage_of(name, op_type):
+            n = name.lower()
+            if "idle" in n:
+                return "idle"
+            if "scatter" in op_type.lower() or "scatter" in n:
+                return "occ_scatter"
+            if "backbone" in n:
+                return "backbone"
+            if "refinenet" in n or "_rn/" in n:
+                return "decoder"
+            if "head" in n:
+                return "heads"
+            if "resize" in n or "hwc" in n:
+                return "resize"
+            return "other"
+
+        parse_and_print(args.logdir, args.iters, args.top, stage_of)
+        return
+
+    # ---- train step ----
+    from functools import partial
+
+    from soccdpt_tpu.train.trainer import Trainer
+
+    mcfg = ModelConfig(
+        model_type=args.model_type, version=3, compute_dtype="bfloat16"
+    )
+    tcfg = TrainConfig(
+        batch_size=args.train_batch, amp=True, gt_downscale=args.gt_downscale
+    )
+    trainer = Trainer(mcfg, tcfg)
+    rng = np.random.default_rng(0)
+    B = args.train_batch
+    ds = max(args.gt_downscale, 1)
+    gh, gw = 1080 // ds, 1920 // ds
+    batch = {
+        "image": jax.device_put(
+            rng.standard_normal((B, 3, h, w)).astype(np.float32)
+        ),
+        "disparity": jax.device_put(
+            np.abs(rng.standard_normal((B, gh, gw))).astype(np.float32)
+        ),
+        "mask_disp": jax.device_put(np.ones((B, gh, gw), np.float32)),
+        "seg": jax.device_put(
+            (rng.random((B, 3, gh, gw)) > 0.5).astype(np.float32)
+        ),
+        "mask_seg": jax.device_put(np.ones((B, 3, gh, gw), np.float32)),
+    }
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), np.asarray(batch["image"][:1])
+    )
+    step_fn = jax.jit(trainer.build_step_fn(0))
+    key = jax.random.PRNGKey(1)
+    state, _ = step_fn(state, batch, key)
+    jax.block_until_ready(state.params)
+    shutil.rmtree(args.logdir, ignore_errors=True)
+    with jax.profiler.trace(args.logdir):
+        for _ in range(args.iters):
+            key, sub = jax.random.split(key)
+            state, _m = step_fn(state, batch, sub)
+        jax.block_until_ready(state.params)
+
+    def stage_of(name, op_type):
+        n = name.lower()
+        if "idle" in n:
+            return "idle"
+        if "transpose" in n and "grad" in n:
+            return "bwd"
+        if "backbone" in n:
+            return "backbone(f+b)"
+        if "refinenet" in n or "_rn/" in n:
+            return "decoder(f+b)"
+        if "head" in n:
+            return "heads(f+b)"
+        if "resize" in n or "bicubic" in n or "nearest" in n:
+            return "loss_resize"
+        if "loss" in n or "ssi" in n or "bce" in n:
+            return "loss"
+        if "adam" in n or "update" in n:
+            return "optimizer"
+        return "other"
+
+    parse_and_print(args.logdir, args.iters, args.top, stage_of)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,16 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--use_pallas", action="store_true", default=None)
     parser.add_argument("--json", action="store_true")
+    parser.add_argument(
+        "--contract",
+        choices=["raw", "full", "occ"],
+        default="raw",
+        help="what each timed forward computes: 'raw' = disp+seg at net "
+        "resolution; 'full' = the reference's 47 Hz contract (disp+seg+"
+        "points at camera resolution, compute_occ=False — SOccDPT.py:"
+        "681-685); 'occ' = full contract PLUS the 256x256x32xC semantic "
+        "occupancy grid (compute_occ=True, SOccDPT.py:374-463)",
+    )
     args = parser.parse_args(argv)
 
     results = []
@@ -65,20 +75,27 @@ def main(argv=None):
             int(np.prod(np.shape(l)))
             for l in jax.tree_util.tree_leaves(variables["params"])
         )
-        hz, dt = measure_forward_hz(
-            lambda v, inp: model.apply(
+        if args.contract == "raw":
+            fwd = lambda v, inp: model.apply(  # noqa: E731
                 v, inp, deterministic=True, return_raw=True
-            )[0],
-            x,
-            batch=args.batch,
-            params=variables,
-        )
+            )[0]
+        else:
+            compute_occ = args.contract == "occ"
+            fwd = lambda v, inp: model.apply(  # noqa: E731
+                v,
+                inp,
+                deterministic=True,
+                return_raw=False,
+                compute_occ=compute_occ,
+            )
+        hz, dt = measure_forward_hz(fwd, x, batch=args.batch, params=variables)
         row = {
             "model_type": mt,
             "params_M": round(n_params / 1e6, 2),
             "hz": round(hz, 1),
             "ms_per_forward": round(dt * 1e3, 3),
             "batch": args.batch,
+            "contract": args.contract,
         }
         results.append(row)
         if args.json:
