@@ -88,7 +88,9 @@ def main(argv=None):
         batch_stats = restored.get("batch_stats", batch_stats)
 
     # Train only occupancy_conv (reference :227-229): optimizer sees only
-    # that subtree via optax.masked.
+    # that subtree via optax.masked, and the loss stop-gradients every
+    # frozen leaf (the reference's requires_grad=False) so XLA dead-code
+    # eliminates the backward through the backbone/decoder/voxelizer.
     def occ_only(p):
         return jax.tree_util.tree_map_with_path(
             lambda path, _: any(
@@ -97,12 +99,17 @@ def main(argv=None):
             p,
         )
 
+    from ..train.patchwise import select_trainable
+
+    occ_mask = occ_only(params)
+
     tx = optax.masked(optax.adam(args.learning_rate), occ_only)
     opt_state = tx.init(params)
 
     @jax.jit
     def train_step(params, opt_state, batch_stats, image, grid, mask):
         def loss_fn(p):
+            p = select_trainable(p, occ_mask)
             out, updates = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 image,

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -89,6 +90,93 @@ def unproject_depth(
     return jnp.stack([x, y, depth], axis=-1)
 
 
+def _segment_sums_sorted(
+    lin_s: jnp.ndarray, vals_s: jnp.ndarray, num_cells: int
+) -> jnp.ndarray:
+    """Per-cell sums from rows SORTED by cell id — no scatter.
+
+    A segmented inclusive scan (``lax.associative_scan`` with a
+    reset-at-segment-boundary add) accumulates each cell's rows; the
+    cell total is the scan value at each segment's LAST row. That row's
+    index is found with a width-1 scatter-max (6.7 ns/row on v5e —
+    scripts/scatter_lab4.py; ``searchsorted`` over num_cells queries
+    measures 150 ns/query and is avoided) and fetched with one fast
+    row gather. Sums are segment-local, so (unlike a
+    cumsum-and-difference route) no precision is lost to a 2M-row
+    running total.
+
+    lin_s: (N,) int32 ascending, cell ids; rows >= num_cells are dropped.
+    vals_s: (N, C). Returns (num_cells, C).
+    """
+    N = lin_s.shape[0]
+    flags = jnp.concatenate(
+        [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]]
+    )
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, vb + jnp.where(fb[..., None], 0.0, va)
+
+    _, scan_vals = jax.lax.associative_scan(comb, (flags, vals_s), axis=0)
+
+    # ends[g] = 1 + index of the last sorted row in cell g, 0 if empty.
+    row_no = jnp.arange(1, N + 1, dtype=jnp.int32)
+    ends = (
+        jnp.zeros((num_cells,), jnp.int32)
+        .at[lin_s]
+        .max(row_no, mode="drop")
+    )
+    last = jnp.clip(ends - 1, 0, N - 1)
+    gathered = jnp.take(scan_vals, last, axis=0)
+    return jnp.where((ends > 0)[:, None], gathered, 0.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _accumulate_sort(
+    lin: jnp.ndarray, vals: jnp.ndarray, num_slots: int, impl: str = "xla"
+):
+    """sum_n vals[n] into slot lin[n] (rows with lin >= num_slots drop),
+    via a 1-D sort + segment reduction — NEVER under vmap: a batched
+    lax.sort lowers ~8x slower on TPU even at batch 1
+    (scripts/scatter_lab5.py), so callers fold any batch axis into the
+    key and flatten.
+
+    impl="pallas" uses the MXU one-hot merge-schedule kernel
+    (ops/sorted_segment_sum.py — 16 ms for the 2M x (2M, 3) problem on
+    v5e vs 83 ms for the XLA scatter); "xla" is the pure-XLA segmented
+    scan. Custom VJP: the true gradient of a scatter-add w.r.t.
+    ``vals`` is a plain gather of the cotangent at each row's slot —
+    cheap and exact — so the backward never differentiates through the
+    sort."""
+    if impl == "pallas":
+        from .sorted_segment_sum import segment_sum_sorted_pallas
+
+        return segment_sum_sorted_pallas(lin, vals, num_slots)
+    C = vals.shape[-1]
+    cols = tuple(vals[:, i] for i in range(C))
+    sorted_ops = jax.lax.sort((lin,) + cols, dimension=0, num_keys=1)
+    lin_s = sorted_ops[0]
+    vals_s = jnp.stack(sorted_ops[1:], axis=-1)
+    return _segment_sums_sorted(lin_s, vals_s, num_slots)
+
+
+def _accumulate_sort_fwd(lin, vals, num_slots, impl):
+    return _accumulate_sort(lin, vals, num_slots, impl), lin
+
+
+def _accumulate_sort_bwd(num_slots, impl, lin, cot):
+    valid = lin < num_slots
+    safe = jnp.clip(lin, 0, num_slots - 1)
+    grad_vals = jnp.where(
+        valid[:, None], jnp.take(cot, safe, axis=0), 0.0
+    )
+    return np.zeros(lin.shape, jax.dtypes.float0), grad_vals
+
+
+_accumulate_sort.defvjp(_accumulate_sort_fwd, _accumulate_sort_bwd)
+
+
 def points_to_occupancy_grid(
     points: jnp.ndarray,
     semantics: jnp.ndarray,
@@ -96,17 +184,34 @@ def points_to_occupancy_grid(
     num_classes: int,
     mode: str = "prob",
     threshold: float = 0.5,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Voxelize semantic points into a per-batch occupancy grid.
 
     points: (B, N, 3) in meters; semantics: (B, N, C) class scores.
     Returns (B, gx, gy, gz, C) accumulated counts/weights.
 
-    mode="prob"  — scatter-add class probabilities (differentiable w.r.t.
+    mode="prob"  — accumulate class probabilities (differentiable w.r.t.
                    semantics; replaces the reference's ``nonzero`` +
                    non-accumulating ``+=`` at SOccDPT.py:440-455).
-    mode="count" — scatter-add 1 where score > threshold (GT semantics,
+    mode="count" — accumulate 1 where score > threshold (GT semantics,
                    bdd_helper.py:335-337).
+
+    method selects the accumulation algorithm (all numerically
+    equivalent vs the np.add.at oracle, tests/test_geometry.py):
+
+    "scatter" — one batched width-C ``scatter-add``. On TPU v5e XLA
+                lowers this to a ~40 ns/row serial loop at C=3
+                (scripts/scatter_lab3.py) — 83 ms for a 2M-point cloud.
+    "pallas"  — sort rows by cell id (1-D lax.sort, 3.6 ms at 2M), then
+                the MXU one-hot merge-schedule kernel
+                (ops/sorted_segment_sum.py): 16 ms total, 5.1x the XLA
+                scatter, bit-consistent with it to f32 rounding.
+    "sort"    — sort + pure-XLA segmented scan + scatter-max/gather
+                (44.8 ms at 2M; the no-Pallas fallback).
+    "auto"    — "pallas" for large point clouds on TPU, "scatter"
+                otherwise (small N: the sort routes' fixed costs
+                dominate; CPU scatters are fine).
     """
     B, N, _ = points.shape
     gx, gy, gz = occ.grid_size
@@ -122,7 +227,8 @@ def points_to_occupancy_grid(
     valid = finite & inb
 
     lin = (ijk[..., 0] * gy + ijk[..., 1]) * gz + ijk[..., 2]  # (B, N)
-    lin = jnp.where(valid, lin, gx * gy * gz)  # OOB rows -> dropped
+    num_cells = gx * gy * gz
+    lin = jnp.where(valid, lin, num_cells)  # OOB rows -> dropped
 
     if mode == "prob":
         vals = semantics
@@ -132,12 +238,38 @@ def points_to_occupancy_grid(
         raise ValueError(mode)
     vals = vals * valid[..., None].astype(points.dtype)
 
-    def scatter_one(lin_b, vals_b):
-        flat = jnp.zeros((gx * gy * gz, num_classes), vals_b.dtype)
-        flat = flat.at[lin_b].add(vals_b, mode="drop")
-        return flat.reshape(gx, gy, gz, num_classes)
+    if method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        method = "pallas" if (on_tpu and N >= 16384) else "scatter"
 
-    return jax.vmap(scatter_one)(lin, vals)
+    if method == "scatter":
+
+        def scatter_one(lin_b, vals_b):
+            flat = jnp.zeros((num_cells, num_classes), vals_b.dtype)
+            flat = flat.at[lin_b].add(vals_b, mode="drop")
+            return flat.reshape(gx, gy, gz, num_classes)
+
+        return jax.vmap(scatter_one)(lin, vals)
+
+    if method not in ("sort", "pallas"):
+        raise ValueError(method)
+
+    # Fold the batch into the key (slot = b*num_cells + cell) and run ONE
+    # flat 1-D sort: a vmapped/batched sort is ~8x slower on TPU even at
+    # B=1 (scripts/scatter_lab5.py). B*num_cells must stay in int32.
+    if B * (num_cells + 1) >= 2**31:
+        raise ValueError(
+            f"batch {B} x grid {num_cells} overflows the int32 sort key"
+        )
+    batch_off = jnp.arange(B, dtype=jnp.int32)[:, None] * num_cells
+    # dropped rows (lin == num_cells) -> one shared drop slot at the end
+    flat_lin = jnp.where(
+        lin == num_cells, B * num_cells, lin + batch_off
+    ).reshape(-1)
+    flat_vals = vals.reshape(B * N, num_classes)
+    impl = "pallas" if method == "pallas" else "xla"
+    flat = _accumulate_sort(flat_lin, flat_vals, B * num_cells, impl)
+    return flat.reshape(B, gx, gy, gz, num_classes)
 
 
 def get_semantic_occupancy(

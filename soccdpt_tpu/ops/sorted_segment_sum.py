@@ -1,0 +1,206 @@
+"""Pallas TPU kernel: dense segment-sum of SORTED rows via MXU one-hot
+matmuls — the fast half of the occupancy voxelizer.
+
+Why this exists: XLA lowers a width-C scatter-add on TPU v5e to a
+serial ~40 ns/row loop (scripts/scatter_lab3.py) — 83 ms for the 2.07M
+points x (256*256*32, 3) grid of the reference's occupancy contract
+(reference SOccDPT.py:440-455). The TPU-native formulation is
+sort-then-reduce: after a 1-D ``lax.sort`` (3.6 ms at 2M rows), each
+grid cell's rows are contiguous, and the dense per-cell sums become a
+sequence of small matmuls: for a tile of K sorted rows and a tile of
+``Bc`` cells,
+
+    out[c, b] += sum_k vals[c, k] * (cells[k] == base + b)
+
+i.e. ``vals_tile @ one_hot(cells - base)`` — MXU work, no scatter. The
+pairing of row tiles to cell tiles is data-dependent, so it is
+precomputed on-device as a merge schedule (both sequences are sorted,
+so pairs are ~R + O and the out-tile index is non-decreasing) and fed
+through scalar prefetch; the out tile stays resident in VMEM across
+consecutive schedule steps that hit it (Pallas flushes only when the
+out index changes).
+
+Everything is channel-minor-transposed — vals (C, N), out (C, S) — so
+the minor dimension of every block is a lane-sized axis (K or Bc), not
+the tiny channel count.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _schedule(lin_s, R: int, K: int, O: int, Bc: int, P: int):
+    """Merge schedule on device: for each schedule step p, which row
+    tile ``pr[p]`` accumulates into which cell tile ``po[p]``.
+
+    lin_s: (R*K,) sorted cell ids (sentinel >= O*Bc for dropped rows).
+    Returns int32 arrays (pr, po, pf, live) of length P:
+    pf = first visit of this out tile (initialize), live = real pair
+    with in-range rows (padding / empty tiles skip the matmul).
+    """
+    first = lin_s[:: K]  # (R,) first cell id of each row tile
+    last = lin_s[K - 1 :: K]  # (R,) last cell id of each row tile
+
+    o_idx = jnp.arange(O, dtype=jnp.int32)
+    lo = o_idx * Bc
+    hi = lo + Bc  # exclusive
+    # row tiles intersecting out tile o: last >= lo and first < hi
+    rs = jnp.searchsorted(last, lo, side="left").astype(jnp.int32)
+    re = jnp.searchsorted(first, hi, side="left").astype(jnp.int32)  # excl
+    cnt_real = jnp.maximum(re - rs, 0)
+    has = cnt_real > 0
+    cnt = jnp.maximum(cnt_real, 1)  # every out tile gets an init visit
+
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
+    )
+    total = starts[-1]
+
+    p_idx = jnp.arange(P, dtype=jnp.int32)
+    # po[p] = which out tile: the o whose [starts[o], starts[o+1]) holds p
+    po = (
+        jnp.searchsorted(starts, p_idx, side="right").astype(jnp.int32) - 1
+    )
+    po = jnp.clip(po, 0, O - 1)  # tail pairs re-visit the last tile
+    within = p_idx - jnp.take(starts, po)
+    pr = jnp.clip(jnp.take(rs, po) + within, 0, R - 1)
+    pf = ((within == 0) & (p_idx < total)).astype(jnp.int32)
+    live = (
+        (p_idx < total) & jnp.take(has, po) & (within < jnp.take(cnt_real, po))
+    ).astype(jnp.int32)
+    return pr, po, pf, live
+
+
+def _kernel(pr_ref, po_ref, pf_ref, live_ref, lin_ref, vals_ref, out_ref):
+    p = pl.program_id(0)
+    o = po_ref[p]
+    base = o * out_ref.shape[1]
+
+    @pl.when(pf_ref[p] == 1)
+    def _init():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(live_ref[p] == 1)
+    def _accum():
+        K = lin_ref.shape[0]
+        Bc = out_ref.shape[1]
+        local = lin_ref[:] - base  # (K, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (K, Bc), 1)
+        oh = (cols == local).astype(vals_ref.dtype)  # (K, Bc)
+        # out (C, Bc) += vals (C, K) @ oh (K, Bc)
+        # HIGHEST: multi-pass f32 on the MXU — with a one-hot operand the
+        # products are exact, so the result matches a serial f32
+        # scatter-add; default (bf16-pass) precision loses ~1e-3.
+        out_ref[:] += jax.lax.dot_general(
+            vals_ref[:],
+            oh,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def sorted_segment_sum_tpu(
+    lin_s: jnp.ndarray,
+    vals_t: jnp.ndarray,
+    num_slots: int,
+    block_k: int = 512,
+    block_c: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(C, num_slots) dense sums of ``vals_t[:, n]`` into slot
+    ``lin_s[n]``, for SORTED lin_s; rows with lin_s >= num_slots drop.
+
+    lin_s: (N,) int32 ascending. vals_t: (C, N) float32 (channel-minor
+    layout; see module docstring). N must be a multiple of block_k and
+    num_slots a multiple of block_c — callers pad (pad rows carry the
+    sentinel, pad slots are sliced off).
+    """
+    C, N = vals_t.shape
+    if N % block_k or num_slots % block_c:
+        raise ValueError(
+            f"N={N} % block_k={block_k} or S={num_slots} % block_c="
+            f"{block_c} != 0"
+        )
+    R = N // block_k
+    O = num_slots // block_c
+    P = R + 2 * O  # merge pairs <= R + O - 1, plus one init visit per tile
+
+    pr, po, pf, live = _schedule(lin_s, R, block_k, O, block_c, P)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(P,),
+        in_specs=[
+            # (K, 1) blocks: minor dim 1 equals the array's, second-minor
+            # K is 8-divisible — the layouts Mosaic accepts
+            pl.BlockSpec(
+                (block_k, 1), lambda p, pr, po, pf, live: (pr[p], 0)
+            ),
+            pl.BlockSpec(
+                (C, block_k), lambda p, pr, po, pf, live: (0, pr[p])
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, block_c), lambda p, pr, po, pf, live: (0, po[p])
+        ),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, num_slots), jnp.float32),
+        interpret=interpret,
+    )(pr, po, pf, live, lin_s.reshape(N, 1), vals_t)
+    return out
+
+
+def segment_sum_sorted_pallas(
+    lin: jnp.ndarray,
+    vals: jnp.ndarray,
+    num_slots: int,
+    block_k: int = 512,
+    block_c: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(num_slots, C) = scatter-add of UNSORTED rows, TPU-fast path.
+
+    Sorts (key + C payload columns, 1-D — never under vmap:
+    scripts/scatter_lab5.py), pads rows to block_k and slots to
+    block_c, runs the Pallas merge-schedule kernel, slices back.
+    Numerically exact (f32 adds of the same values in sorted order).
+    """
+    N = lin.shape[0]
+    C = vals.shape[-1]
+    S_pad = -(-num_slots // block_c) * block_c
+    N_pad = -(-N // block_k) * block_k
+    sentinel = jnp.int32(S_pad)
+    lin = jnp.where(lin >= num_slots, sentinel, lin)
+    if N_pad != N:
+        lin = jnp.concatenate(
+            [lin, jnp.full((N_pad - N,), sentinel, lin.dtype)]
+        )
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((N_pad - N, C), vals.dtype)]
+        )
+    cols = tuple(vals[:, i] for i in range(C))
+    sorted_ops = jax.lax.sort((lin,) + cols, dimension=0, num_keys=1)
+    lin_s = sorted_ops[0]
+    vals_t = jnp.stack(sorted_ops[1:], axis=0)  # (C, N_pad)
+    # pad channels to a full sublane (8) so the (C, K) matmul operand
+    # has an aligned second-minor dim
+    C_pad = max(8, -(-C // 8) * 8)
+    if C_pad != C:
+        vals_t = jnp.concatenate(
+            [vals_t, jnp.zeros((C_pad - C, N_pad), vals_t.dtype)]
+        )
+    out_t = sorted_segment_sum_tpu(
+        lin_s, vals_t.astype(jnp.float32), S_pad, block_k, block_c, interpret
+    )
+    return out_t[:C, :num_slots].T

@@ -78,6 +78,39 @@ def test_voxelize_matches_numpy_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_voxelize_sort_route_matches_scatter_and_oracle():
+    """The sort+segmented-scan route (TPU default at production point
+    counts — the XLA scatter lowers to a ~40 ns/row serial loop there)
+    must agree with the scatter route and the numpy oracle, including
+    its custom-VJP gradient."""
+    import jax
+
+    rng = np.random.default_rng(1)
+    B, N, C = 2, 700, 3
+    shape_m = np.asarray(OCC.occupancy_shape, np.float32)
+    points = (rng.random((B, N, 3)).astype(np.float32) * 1.4 - 0.2) * shape_m
+    points[1, :7] = np.nan
+    semantics = rng.random((B, N, C)).astype(np.float32)
+    got = np.asarray(
+        points_to_occupancy_grid(points, semantics, OCC, C, method="sort")
+    )
+    want = _numpy_voxelize(points, semantics, OCC, C)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    w = rng.random(got.shape[1:]).astype(np.float32)
+
+    def make_loss(method):
+        def loss(s):
+            g = points_to_occupancy_grid(points, s, OCC, C, method=method)
+            return (g * w).sum()
+
+        return loss
+
+    g_sort = np.asarray(jax.grad(make_loss("sort"))(semantics))
+    g_scat = np.asarray(jax.grad(make_loss("scatter"))(semantics))
+    np.testing.assert_allclose(g_sort, g_scat, rtol=1e-5, atol=1e-5)
+
+
 def test_voxelize_count_mode_accumulates_duplicates():
     # 10 identical points in one voxel must count 10 (the reference's
     # model-path `+=` bug would count 1; SURVEY.md §2.6).

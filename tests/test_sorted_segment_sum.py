@@ -1,0 +1,112 @@
+"""Tests for the Pallas sorted-segment-sum voxelizer kernel
+(ops/sorted_segment_sum.py) — interpret mode on CPU; the real-TPU
+numbers live in PERF.md / scripts/scatter_lab*.py.
+
+Oracle: per-row numpy add into the dense grid (the semantics of the
+reference's GT voxelize, bdd_helper.py:319-337).
+"""
+import numpy as np
+import pytest
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import jax.experimental.pallas as pl
+
+from soccdpt_tpu.ops.sorted_segment_sum import segment_sum_sorted_pallas
+
+
+def _oracle(lin, vals, S):
+    out = np.zeros((S, vals.shape[1]), np.float32)
+    for i in range(len(lin)):
+        if 0 <= lin[i] < S:
+            out[lin[i]] += vals[i]
+    return out
+
+
+@pytest.mark.parametrize(
+    "N,S,C,bk,bc",
+    [
+        (1000, 96, 3, 64, 16),  # OOB rows drop, row/slot padding
+        (333, 40, 2, 32, 8),  # N % bk != 0, S % bc != 0
+        (64, 256, 1, 64, 32),  # more slots than rows (empty tiles)
+        (512, 16, 3, 64, 16),  # heavy duplication into few cells
+    ],
+)
+def test_kernel_matches_oracle(N, S, C, bk, bc):
+    rng = np.random.default_rng(N + S + C)
+    lin = rng.integers(0, S + max(4, S // 4), size=(N,)).astype(np.int32)
+    vals = rng.uniform(size=(N, C)).astype(np.float32)
+    got = np.asarray(
+        segment_sum_sorted_pallas(
+            jnp.asarray(lin),
+            jnp.asarray(vals),
+            S,
+            block_k=bk,
+            block_c=bc,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, _oracle(lin, vals, S), rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_all_rows_one_cell():
+    # worst-case merge schedule: every row tile maps to one out tile
+    N, S, C = 256, 64, 3
+    lin = np.full((N,), 7, np.int32)
+    vals = np.ones((N, C), np.float32)
+    got = np.asarray(
+        segment_sum_sorted_pallas(
+            jnp.asarray(lin), jnp.asarray(vals), S,
+            block_k=32, block_c=16, interpret=True,
+        )
+    )
+    want = np.zeros((S, C), np.float32)
+    want[7] = N
+    np.testing.assert_allclose(got, want)
+
+
+def test_geometry_pallas_method_matches_scatter():
+    """points_to_occupancy_grid(method='pallas') == method='scatter',
+    values and gradients, via interpret mode on CPU."""
+    from soccdpt_tpu.core.config import OccupancyConfig
+    from soccdpt_tpu.ops import sorted_segment_sum as sss
+    from soccdpt_tpu.ops.geometry import points_to_occupancy_grid
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    occ = OccupancyConfig(grid_size=(16, 16, 8))
+    rng = np.random.default_rng(3)
+    B, N, C = 2, 700, 3
+    shape_m = np.asarray(occ.occupancy_shape, np.float32)
+    points = (rng.random((B, N, 3)).astype(np.float32) * 1.4 - 0.2) * shape_m
+    points[0, :5] = np.inf
+    sem = rng.random((B, N, C)).astype(np.float32)
+
+    with mock.patch.object(sss.pl, "pallas_call", interp):
+        got = np.asarray(
+            points_to_occupancy_grid(points, sem, occ, C, method="pallas")
+        )
+        w = rng.random(got.shape[1:]).astype(np.float32)
+
+        def loss_p(s):
+            g = points_to_occupancy_grid(points, s, occ, C, method="pallas")
+            return (g * w).sum()
+
+        g_pallas = np.asarray(jax.grad(loss_p)(sem))
+
+    want = np.asarray(
+        points_to_occupancy_grid(points, sem, occ, C, method="scatter")
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def loss_s(s):
+        g = points_to_occupancy_grid(points, s, occ, C, method="scatter")
+        return (g * w).sum()
+
+    g_scatter = np.asarray(jax.grad(loss_s)(sem))
+    np.testing.assert_allclose(g_pallas, g_scatter, rtol=1e-5, atol=1e-5)
