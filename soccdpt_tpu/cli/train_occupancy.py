@@ -7,10 +7,25 @@ BDD pipeline: dataset = BDDOccupancy (host GT voxelization, SURVEY.md
 Unlike the reference — whose occupancy_conv is ``nn.Identity``
 (SOccDPT.py:245) — the head here is a real 3D CNN
 (``occupancy_head=True``).
+
+Grid calibration
+----------------
+The reference hardcodes ``pc_scale``/``pc_shift`` constants tuned by
+hand to *their trained model's* depth scale (SOccDPT.py:145-150; the GT
+pipeline uses a different set, bdd_helper.py:198-205). A base model at
+a different depth scale (or an untrained one) puts every unprojected
+point outside the 256x256x32 volume, the voxel grid comes out all-zero,
+and the occupancy head sees no signal — BCE sits at ln 2 forever.
+``--calibrate_grid`` (default ``auto``) replays the reference authors'
+hand-tuning programmatically: probe the loaded base model's point-cloud
+percentiles on a few training samples and derive pc_scale/pc_shift that
+map the cloud into the grid volume. ``auto`` only recalibrates when the
+reference constants leave <5% of points in bounds.
 """
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 
@@ -51,6 +66,23 @@ def main(argv=None):
     parser.add_argument(
         "--val_percent", type=float, default=0.1
     )
+    parser.add_argument(
+        "--pos_weight",
+        default="1.0",
+        help="positive-class BCE weight; 'auto' balances classes from the "
+        "first batch (occupied cells are ~1e-5 of the grid; unweighted "
+        "BCE — the reference's choice — collapses to all-empty). "
+        "1.0 = reference-exact",
+    )
+    parser.add_argument(
+        "--calibrate_grid",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="derive pc_scale/pc_shift from the base model's point cloud "
+        "(the programmatic form of the reference's hand-tuned constants, "
+        "SOccDPT.py:145-150); auto = only when <5%% of points land in "
+        "the grid volume under the reference constants",
+    )
     args = parser.parse_args(argv)
 
     transform, _, _ = load_transforms(args.model_type)
@@ -87,6 +119,80 @@ def main(argv=None):
         params = load_params_lenient(restored["params"], params)
         batch_stats = restored.get("batch_stats", batch_stats)
 
+    # --- Grid calibration (module docstring) ------------------------------
+    def _in_bounds_frac(pts_np, occ):
+        from ..ops.geometry import rotate_points
+
+        scale = np.asarray(occ.pc_scale, np.float32)
+        shift = np.asarray(occ.pc_shift, np.float32)
+        q = pts_np * scale + shift
+        q = np.asarray(rotate_points(jnp.asarray(q[None]), occ.correction_angle))[0]
+        shape_m = np.asarray(occ.occupancy_shape, np.float32)
+        inb = (
+            np.isfinite(q).all(-1) & (q >= 0).all(-1) & (q < shape_m).all(-1)
+        )
+        return float(inb.mean())
+
+    if args.calibrate_grid != "off":
+        probe = jax.jit(
+            lambda p, bs, img: model.apply(
+                {"params": p, "batch_stats": bs},
+                img,
+                deterministic=True,
+                compute_occ=False,
+            )[2]
+        )
+        clouds = []
+        for k in range(min(2, len(train_set))):
+            s = train_set[k]
+            pts = np.asarray(
+                probe(params, batch_stats, jnp.asarray(s["image"][None])),
+                dtype=np.float32,
+            ).reshape(-1, 3)
+            pts = pts[np.isfinite(pts).all(-1)]
+            # Drop far-plane sentinels: inv_depth clamps at 1e-8 (geometry.py),
+            # so depth >= ~1e8 means "the model predicted no depth here" —
+            # the reference masks these the same way (SOccDPT.py:392-396).
+            pts = pts[np.abs(pts).max(-1) < 9e7]
+            clouds.append(pts[:: max(1, len(pts) // 200_000)])
+        cloud = np.concatenate(clouds, 0) if clouds else np.zeros((0, 3))
+        if len(cloud) < 100:
+            print(
+                "[calibrate] base model predicts no usable depth "
+                f"({len(cloud)} finite in-range points) — keeping reference "
+                "constants. Train the base model first (cli/train.py) and "
+                "pass it via --load."
+            )
+            cloud = None
+        if cloud is not None:
+            frac = _in_bounds_frac(cloud, mcfg.occupancy)
+            print(
+                f"[calibrate] in-bounds under reference constants: {frac:.4f}"
+            )
+        if cloud is not None and (args.calibrate_grid == "on" or frac < 0.05):
+            shape_m = np.asarray(mcfg.occupancy.occupancy_shape, np.float32)
+            lo = np.percentile(cloud, 2.0, axis=0).astype(np.float32)
+            hi = np.percentile(cloud, 98.0, axis=0).astype(np.float32)
+            span = np.maximum(hi - lo, 1e-6)
+            pc_scale = 0.9 * shape_m / span
+            pc_shift = 0.05 * shape_m - lo * pc_scale
+            mcfg = dataclasses.replace(
+                mcfg,
+                occupancy=dataclasses.replace(
+                    mcfg.occupancy,
+                    pc_scale=tuple(float(v) for v in pc_scale),
+                    pc_shift=tuple(float(v) for v in pc_shift),
+                ),
+            )
+            model = build_model(mcfg)
+            frac = _in_bounds_frac(cloud, mcfg.occupancy)
+            print(
+                f"[calibrate] pc_scale="
+                f"{tuple(round(float(v), 4) for v in pc_scale)} pc_shift="
+                f"{tuple(round(float(v), 4) for v in pc_shift)}"
+                f" -> in-bounds {frac:.4f}"
+            )
+
     # Train only occupancy_conv (reference :227-229): optimizer sees only
     # that subtree via optax.masked, and the loss stop-gradients every
     # frozen leaf (the reference's requires_grad=False) so XLA dead-code
@@ -106,6 +212,14 @@ def main(argv=None):
     tx = optax.masked(optax.adam(args.learning_rate), occ_only)
     opt_state = tx.init(params)
 
+    if args.pos_weight == "auto":
+        g0 = np.asarray(train_set[0]["occupancy_grid"])
+        n_pos = float((g0 > 0.5).sum())
+        pos_weight = min(float(g0.size - n_pos) / max(n_pos, 1.0), 1e5)
+        print(f"[pos_weight] auto -> {pos_weight:.1f} ({int(n_pos)} occupied)")
+    else:
+        pos_weight = float(args.pos_weight)
+
     @jax.jit
     def train_step(params, opt_state, batch_stats, image, grid, mask):
         def loss_fn(p):
@@ -124,6 +238,7 @@ def main(argv=None):
                 jnp.clip(pred_grid.reshape(B, -1), 1e-6, 1 - 1e-6),
                 grid.reshape(B, -1),
                 mask.reshape(B, -1),
+                pos_weight=pos_weight,
             )
             return l, updates.get("batch_stats", batch_stats)
 

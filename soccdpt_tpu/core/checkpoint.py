@@ -50,7 +50,18 @@ def restore_checkpoint(path: str, target: Optional[Dict[str, PyTree]] = None):
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is None:
-            return ckptr.restore(path)
+            # Topology-free restore: pull every leaf back as a host numpy
+            # array (placement onto a mesh is the caller's job —
+            # Trainer.reshard_state). A bare restore() would try to
+            # rebuild jax.Arrays with the *saved* sharding, which fails
+            # across backends (e.g. CPU-saved checkpoint in a TPU
+            # process) and across mesh topologies.
+            meta = ckptr.metadata(path).item_metadata
+            tree = meta.tree if hasattr(meta, "tree") else meta
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+            )
+            return ckptr.restore(path, restore_args=restore_args)
         restored = ckptr.restore(path, item=jax.device_get(target))
         return restored
 

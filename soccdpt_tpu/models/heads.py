@@ -118,6 +118,9 @@ class OccupancyHead(nn.Module):
         x = nn.Conv(
             self.num_classes, (3, 3, 3), padding=1, dtype=self.dtype, name="conv4"
         )(x)
+        # Loss-facing logits in f32: a bf16 sigmoid quantizes probabilities
+        # to ~2^-9 steps around 0.5, which staircases the BCE loss.
+        x = x.astype(jnp.float32)
         # Trilinear upsample back to the full grid.
         from ..ops.resize import resize_hw
 

@@ -103,14 +103,21 @@ def masked_bce_loss(
     target: jnp.ndarray,
     mask: jnp.ndarray,
     eps: float = 1e-7,
+    pos_weight: float = 1.0,
 ) -> jnp.ndarray:
     """Mean BCE over masked elements, on probabilities (the seg head
     already applies sigmoid — reference train_SOccDPT.py:334-338 with
     torch.nn.BCELoss). Probabilities are clamped like torch BCELoss
-    clamps log terms."""
+    clamps log terms. ``pos_weight`` multiplies the positive-class term
+    (torch BCEWithLogitsLoss semantics); 1.0 = reference-exact. Used by
+    occupancy training, where occupied cells are ~1e-5 of the grid and
+    unweighted BCE collapses to the all-empty predictor."""
     mask = mask.astype(prediction.dtype)
     p = jnp.clip(prediction, eps, 1.0 - eps)
-    bce = -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+    bce = -(
+        pos_weight * target * jnp.log(p)
+        + (1.0 - target) * jnp.log(1.0 - p)
+    )
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(bce * mask) / denom
 

@@ -52,7 +52,7 @@ class MetricWriter:
         record = {"step": step, "time": time.time(), **scalars}
         if self.console:
             pretty = " ".join(
-                f"{k}={v:.5g}" for k, v in scalars.items() if k != "time"
+                f"{k}={v:.6g}" for k, v in scalars.items() if k != "time"
             )
             print(f"[step {step}] {pretty}")
         if self._jsonl:

@@ -95,6 +95,24 @@ def test_masked_bce_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_masked_bce_pos_weight_matches_torch():
+    """pos_weight multiplies the positive-class term with torch
+    BCEWithLogitsLoss(pos_weight=...) semantics (we pass probabilities,
+    torch takes logits — same loss surface)."""
+    p = np.clip(np.abs(_rand((2, 64), 22)), 0.01, 0.99).astype(np.float32)
+    y = (_rand((2, 64), 23) > 0.8).astype(np.float32)
+    mask = np.ones_like(p)
+    pw = 37.5
+    logits = np.log(p / (1.0 - p)).astype(np.float32)
+    want = float(
+        torch.nn.BCEWithLogitsLoss(
+            reduction="mean", pos_weight=torch.tensor(pw)
+        )(torch.as_tensor(logits), torch.as_tensor(y))
+    )
+    got = float(masked_bce_loss(p, y, mask, pos_weight=pw))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
 def test_joint_loss_weights():
     pred = np.abs(_rand((1, 8, 8), 8))
     tgt = np.abs(_rand((1, 8, 8), 9))
