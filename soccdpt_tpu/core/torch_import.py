@@ -532,15 +532,16 @@ def convert_hybrid_dpt_keys(
     grid_hw: Tuple[int, int] = (24, 24),
 ) -> Tuple[Dict[Tuple[str, ...], np.ndarray], Dict[Tuple[str, ...], np.ndarray]]:
     """MiDaS dpt_hybrid_384 layout -> flax paths: timm
-    ``vit_base_r50_s16_384`` ResNetV2 stem under
-    ``pretrained.model.patch_embed.backbone`` (PreActBottlenecks with
-    GroupNorm + weight-standardized convs; standardization happens at
+    ``vit_base_r50_s16_384`` ResNetV2 trunk under
+    ``pretrained.model.patch_embed.backbone`` (``preact=False`` v1.5
+    bottlenecks: conv{1,2,3}+norm{1,2,3}, downsample conv+norm, stem
+    conv+norm; weight-standardized convs — standardization happens at
     use on both sides, so raw kernels import 1:1), the ViT trunk, and
     the level-3/4 act_postprocess ops (levels 1/2 are the raw ResNet
     stage outputs — identity in both implementations)."""
     params, stats = convert_vit_dpt_keys(sd, torch_prefix, "vit", grid_hw)
     bb = ("backbone",)
-    norm_map = {"norm1": "gn_pre", "norm2": "gn1", "norm3": "gn2"}
+    norm_map = {"norm1": "gn1", "norm2": "gn2", "norm3": "gn3"}
     for key, val in sd.items():
         if torch_prefix:
             if not key.startswith(torch_prefix):
@@ -552,6 +553,9 @@ def convert_hybrid_dpt_keys(
         sub = m.group(1)
         if sub == "backbone.stem.conv.weight":
             params[bb + ("stem_conv", "kernel")] = _conv(val)
+        elif sub in ("backbone.stem.norm.weight", "backbone.stem.norm.bias"):
+            leaf = "scale" if sub.endswith("weight") else "bias"
+            params[bb + ("stem_gn", leaf)] = _id(val)
         elif sub == "proj.weight":
             params[bb + ("patch_embed_proj", "kernel")] = _conv(val)
         elif sub == "proj.bias":
@@ -573,7 +577,10 @@ def convert_hybrid_dpt_keys(
                 leaf = "scale" if nm.group(2) == "weight" else "bias"
                 params[blk + (name, leaf)] = _id(val)
             elif rest == "downsample.conv.weight":
-                params[blk + ("downsample", "kernel")] = _conv(val)
+                params[blk + ("downsample_conv", "kernel")] = _conv(val)
+            elif rest in ("downsample.norm.weight", "downsample.norm.bias"):
+                leaf = "scale" if rest.endswith("weight") else "bias"
+                params[blk + ("downsample_gn", leaf)] = _id(val)
     return params, stats
 
 

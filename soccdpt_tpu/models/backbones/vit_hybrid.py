@@ -3,12 +3,19 @@
 Replaces the reference's timm ``vit_base_resnet50_384`` wrapper —
 which is *broken* in the reference (an ``exec`` on an undefined
 variable, backbones/vit.py:181-182,221-223; SURVEY.md §2.6) — with a
-working implementation: a BiT-style ResNetV2 stem (weight-standardized
-convs + GroupNorm(32), pre-activation bottlenecks) whose stage-0/1
-outputs are pyramid levels 1-2 (256 ch @ /4, 512 ch @ /8), and a ViT-B
-over the /16 stage-2 features whose block-8/11 activations are levels
-3-4 (768 ch @ /16, /32) — reference hook layout vit.py:147-171,
-channels blocks.py:110-112.
+working implementation matching timm's actual hybrid trunk
+(``_resnetv2(layers=(3,4,9), preact=False, stem_type='same',
+conv_layer=StdConv2dSame(eps=1e-8))``): weight-standardized convs with
+TF-SAME (asymmetric) padding, GroupNorm(32), NON-pre-activation v1.5
+bottlenecks (conv->GN/ReLU, ReLU after the residual add; HF
+``BitBottleneckLayer`` is the same structure). Stage-0/1 outputs are
+pyramid levels 1-2 (256 ch @ /4, 512 ch @ /8); a ViT-B over the /16
+stage-2 features supplies levels 3-4 via block-8/11 activations
+(768 ch @ /16, /32) — reference hook layout vit.py:147-171, channels
+blocks.py:110-112. Whole-trunk parity vs HF ``ViTHybridModel`` is
+tested in tests/test_backbone_hf_parity.py (this rewrite fixed the
+round-3 structure, which wrongly used pre-activation blocks with
+symmetric padding).
 """
 from __future__ import annotations
 
@@ -37,46 +44,49 @@ class WSConv(nn.Conv):
         return p
 
 
-class PreActBottleneck(nn.Module):
+def _gn(name: str):
+    """GroupNorm(32) in f32 (timm GroupNormAct / HF BitGroupNormActivation,
+    eps=1e-5)."""
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name=name)
+
+
+class BottleneckV15(nn.Module):
+    """timm ResNetV2 ``preact=False`` Bottleneck == HF BitBottleneckLayer:
+    conv1->GN/ReLU -> conv2(stride, TF-SAME)->GN/ReLU -> conv3->GN,
+    shortcut = GN(conv1x1(x)) on the FIRST block of a stage, ReLU after
+    the residual add. Weight-standardized convs throughout (eps=1e-8)."""
+
     mid: int
     out: int
     stride: int = 1
+    is_first: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pre = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="gn_pre")(
-            x
-        ).astype(self.dtype)
-        pre = nn.relu(pre)
-
-        if x.shape[-1] != self.out or self.stride != 1:
+        if self.is_first:
             shortcut = WSConv(
                 self.out, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, dtype=self.dtype, name="downsample",
-            )(pre)
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            shortcut = _gn("downsample_gn")(shortcut).astype(self.dtype)
         else:
             shortcut = x
 
         h = WSConv(
             self.mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
-        )(pre)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="gn1")(h).astype(
-            self.dtype
-        )
-        h = nn.relu(h)
+        )(x)
+        h = nn.relu(_gn("gn1")(h).astype(self.dtype))
         h = WSConv(
-            self.mid, (3, 3), strides=(self.stride, self.stride), padding=1,
-            use_bias=False, dtype=self.dtype, name="conv2",
+            self.mid, (3, 3), strides=(self.stride, self.stride),
+            padding="SAME", use_bias=False, dtype=self.dtype, name="conv2",
         )(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="gn2")(h).astype(
-            self.dtype
-        )
-        h = nn.relu(h)
+        h = nn.relu(_gn("gn2")(h).astype(self.dtype))
         h = WSConv(
             self.out, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
         )(h)
-        return shortcut + h
+        h = _gn("gn3")(h).astype(self.dtype)
+        return nn.relu(h + shortcut)
 
 
 @dataclass(frozen=True)
@@ -114,22 +124,26 @@ class ViTHybridBackbone(nn.Module):
         B = x.shape[0]
         w = cfg.stem_width
 
-        # ResNetV2 stem: WS-conv 7x7/2 + 3x3/2 max-pool
+        # timm 'same' non-preact stem: WS-conv 7x7/2 (TF-SAME) -> GN/ReLU
+        # -> 3x3/2 max-pool (TF-SAME). Post-ReLU values are >= 0, so the
+        # SAME max-pool's -inf identity padding matches HF's zero-padded
+        # BitMaxPool2d exactly.
         h = WSConv(
-            w, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+            w, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
             dtype=self.dtype, name="stem_conv",
         )(x)
-        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        h = nn.relu(_gn("stem_gn")(h).astype(self.dtype))
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
 
         feats = []
         chans = (w * 4, w * 8, w * 16)
         for s, depth in enumerate(cfg.stage_blocks):
             for b in range(depth):
-                h = PreActBottleneck(
+                h = BottleneckV15(
                     mid=chans[s] // 4,
                     out=chans[s],
                     stride=2 if (s > 0 and b == 0) else 1,
+                    is_first=(b == 0),
                     dtype=self.dtype,
                     name=f"stage{s}_block{b}",
                 )(h)

@@ -135,6 +135,31 @@ def resize_nchw(
     return x
 
 
+def subsampled_resize_nchw(
+    x: jnp.ndarray,
+    size: Tuple[int, int],
+    step: int,
+    method: str = "bilinear",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """``resize_nchw(x, size, ...)[..., ::step, ::step]`` as ONE pair of
+    matmuls: row-subsampling a matmul's output equals matmulling with the
+    row-subsampled matrix, ``(M @ x)[::s] == M[::s] @ x`` — exactly, same
+    floats. Used by the multi-scale SSI gradient loss so each pyramid
+    level is a small MXU matmul from the net-resolution prediction
+    (backward = matmul) instead of a strided slice of the camera-
+    resolution tensor (backward = scatter; 43 ms/step on v5e at batch 3).
+    """
+    h_out, w_out = size
+    if step == 1 and (x.shape[-2], x.shape[-1]) == (h_out, w_out):
+        return x
+    mh = _resize_matrix(x.shape[-2], h_out, method, align_corners)[::step]
+    mw = _resize_matrix(x.shape[-1], w_out, method, align_corners)[::step]
+    dtype = x.dtype
+    x = jnp.einsum("Hh,...hw->...Hw", jnp.asarray(mh, dtype), x)
+    return jnp.einsum("Ww,...hw->...hW", jnp.asarray(mw, dtype), x)
+
+
 def upsample2x_hw(x: jnp.ndarray, method: str = "bilinear", align_corners: bool = True):
     """2x spatial upsample of NHWC, the DPT fusion-block default
     (reference blocks.py:481-493 with scale_factor=2)."""

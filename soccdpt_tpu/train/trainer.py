@@ -30,7 +30,7 @@ from ..core.config import ModelConfig, TrainConfig
 from ..models.soccdpt import build_model
 from ..ops.resize import resize_nchw
 from ..parallel import mesh as mesh_lib
-from .losses import joint_loss
+from .losses import masked_bce_loss, ssi_loss_from_net
 from .patchwise import (
     encoder_mask,
     patch_masks,
@@ -246,20 +246,26 @@ class Trainer:
                 rngs={"dropout": rng},
             )
             gt_hw = batch["disparity"].shape[-2:]
-            disp_pred = resize_nchw(
-                inv_depth.astype(jnp.float32), gt_hw, "bicubic", False
-            )
-            seg_pred = resize_nchw(seg.astype(jnp.float32), gt_hw, "nearest")
-            total, aux = joint_loss(
-                disp_pred,
+            # Reference semantics: upsample to camera resolution, then
+            # SSI + BCE (SOccDPT.py:270-282, train_SOccDPT.py:379-388).
+            # The disparity resize is folded into the loss so each SSI
+            # pyramid level is an MXU matmul from the net output instead
+            # of a gather/scatter pair at 1080p (see losses.py).
+            l_disp = ssi_loss_from_net(
+                inv_depth.astype(jnp.float32),
                 batch["disparity"].astype(jnp.float32),
                 batch["mask_disp"].astype(jnp.float32),
+                do_compute_scale_and_shift=tcfg.compute_scale_and_shift,
+            )
+            seg_pred = resize_nchw(seg.astype(jnp.float32), gt_hw, "nearest")
+            l_seg = masked_bce_loss(
                 seg_pred,
                 batch["seg"].astype(jnp.float32),
                 batch["mask_seg"].astype(jnp.float32),
-                loss_weights=tcfg.loss_weights,
-                compute_scale_and_shift=tcfg.compute_scale_and_shift,
             )
+            w_depth, w_seg = tcfg.loss_weights
+            total = w_depth * l_disp + w_seg * l_seg
+            aux = {"loss_disp": l_disp, "loss_seg": l_seg}
             return total, (aux, updates.get("batch_stats", batch_stats))
 
         def train_step(state: TrainState, batch, rng):

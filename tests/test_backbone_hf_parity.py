@@ -570,3 +570,129 @@ def test_levit_whole_backbone_vs_hf():
             np.asarray(got), want, rtol=RTOL, atol=ATOL,
             err_msg=f"levit block {h} (stage {lvl})",
         )
+
+
+# ---------------------------------------------------------------------------
+# ViT-hybrid (vitb_rn50_384 = dpt_hybrid_384): BiT R50 trunk + ViT-B blocks
+# ---------------------------------------------------------------------------
+
+
+def test_vit_hybrid_whole_backbone_vs_hf():
+    """Whole hybrid trunk vs HF ``ViTHybridModel`` (independent impl of
+    the same timm ``vit_base_r50_s16_384`` the reference wraps): the two
+    ResNet stage taps (256 @ /4, 512 @ /8 — reference hooks [0, 1] at
+    vit.py:163-171) against ``BitBackbone`` feature maps, and the ViT
+    block-8/11 token taps against ``output_hidden_states``.
+
+    This test caught the round-3 structure bug: the flax trunk used
+    PRE-activation bottlenecks with symmetric padding where timm/HF use
+    non-preact v1.5 bottlenecks with TF-SAME padding and a normed stem.
+    """
+    from transformers.models.bit.configuration_bit import BitConfig
+    from transformers.models.deprecated.vit_hybrid.configuration_vit_hybrid import (
+        ViTHybridConfig,
+    )
+    from transformers.models.deprecated.vit_hybrid.modeling_vit_hybrid import (
+        ViTHybridModel,
+    )
+
+    from soccdpt_tpu.models.backbones.vit_hybrid import (
+        HYBRID_CONFIGS,
+        make_vit_hybrid_backbone,
+    )
+
+    name, size = "vitb_rn50_384", 384
+    cfg = HYBRID_CONFIGS[name]
+    factory, _ = make_vit_hybrid_backbone(name)
+    model = factory()
+    x = _img(1, size, 110)
+    variables = _rand_variables(model, jnp.asarray(x[:1, :64, :64]), 111)
+    feats, inter = model.apply(
+        variables,
+        jnp.asarray(x),
+        deterministic=True,
+        capture_intermediates=lambda mod, method: (
+            method == "__call__" and (mod.name or "").startswith("block")
+        ),
+        mutable=["intermediates"],
+    )
+    vit_taps = [
+        np.asarray(inter["intermediates"][f"block{h}"]["__call__"][0])
+        for h in cfg.vit_hooks
+    ]
+
+    bit_cfg = BitConfig(
+        embedding_size=cfg.stem_width,
+        hidden_sizes=[cfg.stem_width * 4, cfg.stem_width * 8, cfg.stem_width * 16],
+        depths=list(cfg.stage_blocks),
+        layer_type="bottleneck",
+        hidden_act="relu",
+        global_padding="SAME",
+        num_groups=32,
+        embedding_dynamic_padding=True,
+        out_features=["stage1", "stage2", "stage3"],
+    )
+    hf_cfg = ViTHybridConfig(
+        backbone_config=bit_cfg,
+        image_size=size,
+        patch_size=1,
+        hidden_size=cfg.vit.embed_dim,
+        num_hidden_layers=cfg.vit.depth,
+        num_attention_heads=cfg.vit.num_heads,
+        intermediate_size=int(cfg.vit.embed_dim * cfg.vit.mlp_ratio),
+        backbone_featmap_shape=[1, cfg.stem_width * 16, size // 16, size // 16],
+        hidden_act="gelu",
+        layer_norm_eps=1e-6,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        qkv_bias=True,
+    )
+    # use_mask_token=True: HF's deprecated _init_weights dereferences
+    # mask_token unconditionally; the token is unused without
+    # bool_masked_pos.
+    hf = ViTHybridModel(hf_cfg, add_pooling_layer=False, use_mask_token=True)
+
+    params = variables["params"]
+    bit = hf.embeddings.patch_embeddings.backbone.bit
+    _copy_conv(bit.embedder.convolution, params["stem_conv"])
+    _copy_ln(bit.embedder.norm, params["stem_gn"])
+    for s_i, stage in enumerate(bit.encoder.stages):
+        for b_i, layer in enumerate(stage.layers):
+            p = params[f"stage{s_i}_block{b_i}"]
+            for c in ("conv1", "conv2", "conv3"):
+                _copy_conv(getattr(layer, c), p[c])
+            for n, g in (("norm1", "gn1"), ("norm2", "gn2"), ("norm3", "gn3")):
+                _copy_ln(getattr(layer, n), p[g])
+            if layer.downsample is not None:
+                _copy_conv(layer.downsample.conv, p["downsample_conv"])
+                _copy_ln(layer.downsample.norm, p["downsample_gn"])
+    with torch.no_grad():
+        hf.embeddings.cls_token.copy_(
+            torch.tensor(np.asarray(params["cls_token"]))
+        )
+        hf.embeddings.position_embeddings.copy_(
+            torch.tensor(np.asarray(params["pos_embed"]))
+        )
+    _copy_conv(hf.embeddings.patch_embeddings.projection, params["patch_embed_proj"])
+    for i, layer in enumerate(hf.encoder.layer):
+        _copy_vit_block(layer, params[f"block{i}"], "vit")
+    hf.eval()
+
+    pixel = _nchw_t(x)
+    with torch.no_grad():
+        bb_out = hf.embeddings.patch_embeddings.backbone(pixel)
+        out = hf(pixel, output_hidden_states=True)
+
+    # ResNet stage taps (NCHW -> NHWC)
+    for lvl in range(2):
+        want = np.transpose(_t2n(bb_out.feature_maps[lvl]), (0, 2, 3, 1))
+        np.testing.assert_allclose(
+            np.asarray(feats[lvl]), want, rtol=RTOL, atol=ATOL,
+            err_msg=f"hybrid resnet stage {lvl}",
+        )
+    # ViT block taps (tokens incl. cls)
+    for tap, h in zip(vit_taps, cfg.vit_hooks):
+        np.testing.assert_allclose(
+            tap, _t2n(out.hidden_states[h + 1]), rtol=RTOL, atol=ATOL,
+            err_msg=f"hybrid vit block {h}",
+        )

@@ -170,3 +170,61 @@ def test_depth_metrics_empty_mask_clamped():
     gt = np.ones((1, 4, 4))
     m = compute_masked_errors(gt, gt, np.zeros_like(gt, dtype=bool))
     assert m.rmse == 0.0 and m.a1 == 0.0  # reference NaN->0 clamps
+
+
+def test_ssi_loss_from_net_matches_resize_then_ssi():
+    """The fused net-resolution SSI loss (pyramid folded into the resize
+    matrices, losses.ssi_loss_from_net) must equal resize -> ssi with
+    strided-slice pyramids — the two are the same math, reordered."""
+    import jax.numpy as jnp
+
+    from soccdpt_tpu.ops.resize import resize_nchw
+    from soccdpt_tpu.train.losses import ssi_loss_from_net
+
+    rng = np.random.default_rng(11)
+    pred_net = rng.standard_normal((2, 24, 32)).astype(np.float32)
+    tgt = np.abs(rng.standard_normal((2, 96, 128))).astype(np.float32)
+    mask = (rng.random((2, 96, 128)) > 0.2).astype(np.float32)
+
+    ref = scale_and_shift_invariant_loss(
+        resize_nchw(jnp.asarray(pred_net), (96, 128), "bicubic", False),
+        jnp.asarray(tgt),
+        jnp.asarray(mask),
+    )
+    got = ssi_loss_from_net(
+        jnp.asarray(pred_net), jnp.asarray(tgt), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_ssi_loss_from_net_matches_torch_oracle():
+    """End-to-end against the independent torch oracle: bicubic resize
+    (torch-exact matrices) then the reference SSI loss."""
+    import jax.numpy as jnp
+
+    from soccdpt_tpu.ops.resize import resize_nchw
+    from soccdpt_tpu.train.losses import ssi_loss_from_net
+
+    rng = np.random.default_rng(13)
+    pred_net = rng.standard_normal((2, 16, 16)).astype(np.float32)
+    tgt = np.abs(rng.standard_normal((2, 64, 96))).astype(np.float32)
+    mask = np.ones((2, 64, 96), np.float32)
+
+    pred_full = np.asarray(
+        resize_nchw(jnp.asarray(pred_net), (64, 96), "bicubic", False)
+    )
+    want = torch_ssi_loss(pred_full, tgt, mask)
+    got = float(
+        ssi_loss_from_net(jnp.asarray(pred_net), jnp.asarray(tgt), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_subsample2_matches_strided_slice():
+    from soccdpt_tpu.train.losses import _subsample2
+
+    x = _rand((3, 10, 16), 17)
+    np.testing.assert_array_equal(np.asarray(_subsample2(x)), x[:, ::2, ::2])
+    # odd sizes take the fallback path
+    y = _rand((2, 7, 9), 18)
+    np.testing.assert_array_equal(np.asarray(_subsample2(y)), y[:, ::2, ::2])

@@ -365,6 +365,8 @@ def test_hybrid_dpt_import_roundtrip():
         "pretrained.model.patch_embed.backbone.stem.conv.weight": conv(
             bb["stem_conv"]["kernel"]
         ),
+        "pretrained.model.patch_embed.backbone.stem.norm.weight": bb["stem_gn"]["scale"],
+        "pretrained.model.patch_embed.backbone.stem.norm.bias": bb["stem_gn"]["bias"],
         "pretrained.model.patch_embed.proj.weight": conv(
             bb["patch_embed_proj"]["kernel"]
         ),
@@ -372,7 +374,7 @@ def test_hybrid_dpt_import_roundtrip():
         "pretrained.model.cls_token": bb["cls_token"],
         "pretrained.model.pos_embed": bb["pos_embed"],
     }
-    norm_map = {"gn_pre": "norm1", "gn1": "norm2", "gn2": "norm3"}
+    norm_map = {"gn1": "norm1", "gn2": "norm2", "gn3": "norm3"}
     for s_i in range(3):
         blk = bb[f"stage{s_i}_block0"]
         p = f"pretrained.model.patch_embed.backbone.stages.{s_i}.blocks.0."
@@ -381,8 +383,12 @@ def test_hybrid_dpt_import_roundtrip():
         for ours, theirs in norm_map.items():
             sd[p + f"{theirs}.weight"] = blk[ours]["scale"]
             sd[p + f"{theirs}.bias"] = blk[ours]["bias"]
-        if "downsample" in blk:
-            sd[p + "downsample.conv.weight"] = conv(blk["downsample"]["kernel"])
+        if "downsample_conv" in blk:
+            sd[p + "downsample.conv.weight"] = conv(
+                blk["downsample_conv"]["kernel"]
+            )
+            sd[p + "downsample.norm.weight"] = blk["downsample_gn"]["scale"]
+            sd[p + "downsample.norm.bias"] = blk["downsample_gn"]["bias"]
     for i in range(2):
         blk = bb[f"block{i}"]
         p = f"pretrained.model.blocks.{i}."
