@@ -26,7 +26,7 @@ from ..bias_cache import cached_bias
 
 from .swin2 import (
     drop_path,
-    relative_position_index,
+    toeplitz_bias_expand,
     window_partition,
     window_reverse,
 )
@@ -125,12 +125,11 @@ class WindowAttentionV1(nn.Module):
         )
 
         def compute_bias():
-            rpi = jnp.asarray(
-                relative_position_index(wh, ww, twh, tww).reshape(-1)
-            )
-            # jnp.asarray: params may be host numpy (structural_init);
-            # numpy fancy-indexing breaks under an inner trace.
-            return jnp.asarray(table)[rpi].reshape(N, N, H).transpose(2, 0, 1)
+            # Scatter-free Toeplitz expansion == table[rel_index]
+            # (swin2.toeplitz_bias_expand: one-hot einsums; backward is
+            # matmuls, not a per-block scatter-add into the table).
+            # jnp.asarray: params may be host numpy (structural_init).
+            return toeplitz_bias_expand(jnp.asarray(table), wh, ww, twh, tww)
 
         # Param-derived constant — foldable at weight-bind time
         # (models/bias_cache.py; slow TPU gather otherwise). Keyed by

@@ -123,6 +123,51 @@ def relative_position_index(
 
 
 @functools.lru_cache(maxsize=64)
+def _toeplitz_selectors(
+    wh: int, ww: int, table_wh: int, table_ww: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Static one-hot selectors expanding a relative-bias table to the
+    (N, N) bias matrix WITHOUT a gather: the matrix is 2-D
+    block-Toeplitz (bias[(py,px),(qy,qx)] = table2d[py-qy, px-qx]), so
+    the expansion is two tiny einsums whose backward is matmuls. The
+    gather formulation's transpose is a 65536-row scatter-add that
+    costs 445 us/block on v5e (2.7 ms/step over the six flagship
+    blocks); one-hot matmuls are EXACT at any TPU precision (each
+    product multiplies by 0/1, each output sums one nonzero)."""
+    ay = np.arange(wh)
+    ey = (
+        ay[:, None, None] - ay[None, :, None] + (table_wh - 1)
+        == np.arange(2 * table_wh - 1)[None, None, :]
+    ).astype(np.float32)  # (wh, wh, 2*table_wh-1)
+    ax = np.arange(ww)
+    ex = (
+        ax[:, None, None] - ax[None, :, None] + (table_ww - 1)
+        == np.arange(2 * table_ww - 1)[None, None, :]
+    ).astype(np.float32)  # (ww, ww, 2*table_ww-1)
+    return ey, ex
+
+
+def toeplitz_bias_expand(
+    cpb: jnp.ndarray,
+    wh: int,
+    ww: int,
+    table_wh: Optional[int] = None,
+    table_ww: Optional[int] = None,
+) -> jnp.ndarray:
+    """((2tWh-1)(2tWw-1), H) table -> (H, wh*ww, wh*ww) bias matrix;
+    exactly ``cpb[relative_position_index(wh, ww, tWh, tWw)]`` but
+    scatter-free in the backward (see _toeplitz_selectors)."""
+    table_wh = wh if table_wh is None else table_wh
+    table_ww = ww if table_ww is None else table_ww
+    H = cpb.shape[-1]
+    cpb2 = cpb.reshape(2 * table_wh - 1, 2 * table_ww - 1, H)
+    ey, ex = _toeplitz_selectors(wh, ww, table_wh, table_ww)
+    t1 = jnp.einsum("pqa,abh->pqbh", jnp.asarray(ey, cpb.dtype), cpb2)
+    rb = jnp.einsum("PQb,pqbh->hpPqQ", jnp.asarray(ex, cpb.dtype), t1)
+    return rb.reshape(H, wh * ww, wh * ww)
+
+
+@functools.lru_cache(maxsize=64)
 def relative_coords_table(
     wh: int, ww: int, pretrained_wh: int, pretrained_ww: int
 ) -> np.ndarray:
@@ -271,8 +316,10 @@ class WindowAttentionV2(nn.Module):
                 relative_coords_table(*self.window, *self.pretrained_window)
             )
             cpb = cpb_mlp_1(nn.relu(cpb_mlp_0(table)))  # (M, H)
-            rpi = jnp.asarray(relative_position_index(*self.window).reshape(-1))
-            rb = cpb[rpi].reshape(N, N, H).transpose(2, 0, 1)  # (H, N, N)
+            # Toeplitz expansion instead of cpb[rel_index]: same values,
+            # but the backward is matmuls instead of a 65536-row
+            # scatter-add (445 us/block on v5e in the train step).
+            rb = toeplitz_bias_expand(cpb, *self.window)  # (H, N, N)
             return (16.0 * jax.nn.sigmoid(rb)).astype(self.dtype)
 
         # Param-derived constant: the gather runs at <60 GB/s on TPU and

@@ -132,15 +132,27 @@ def _segment_sums_sorted(
     return jnp.where((ends > 0)[:, None], gathered, 0.0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _accumulate_sort(
-    lin: jnp.ndarray, vals: jnp.ndarray, num_slots: int, impl: str = "xla"
+    lin: jnp.ndarray,
+    vals: jnp.ndarray,
+    num_slots: int,
+    impl: str = "xla",
+    sort_segments: int = 1,
 ):
     """sum_n vals[n] into slot lin[n] (rows with lin >= num_slots drop),
     via a 1-D sort + segment reduction — NEVER under vmap: a batched
     lax.sort lowers ~8x slower on TPU even at batch 1
     (scripts/scatter_lab5.py), so callers fold any batch axis into the
     key and flatten.
+
+    ``sort_segments = B``: when the key is batch-folded (slice b of
+    ``lin`` holds only keys in [b*cells, (b+1)*cells)), the flat sort
+    splits into B independent smaller sorts whose concatenation is
+    already globally sorted — the sort is the super-linear term, so
+    this restores linear batch scaling. Dropped rows must then carry an
+    in-slice key with zeroed payload (voxelize routes them to the
+    batch's own cell 0, which in-bounds points can never hit).
 
     impl="pallas" uses the MXU one-hot merge-schedule kernel
     (ops/sorted_segment_sum.py — 16 ms for the 2M x (2M, 3) problem on
@@ -152,20 +164,40 @@ def _accumulate_sort(
     if impl == "pallas":
         from .sorted_segment_sum import segment_sum_sorted_pallas
 
-        return segment_sum_sorted_pallas(lin, vals, num_slots)
+        return segment_sum_sorted_pallas(
+            lin, vals, num_slots, sort_segments=sort_segments
+        )
     C = vals.shape[-1]
+    N = lin.shape[0]
     cols = tuple(vals[:, i] for i in range(C))
-    sorted_ops = jax.lax.sort((lin,) + cols, dimension=0, num_keys=1)
-    lin_s = sorted_ops[0]
-    vals_s = jnp.stack(sorted_ops[1:], axis=-1)
+    if sort_segments > 1 and N % sort_segments == 0:
+        n_seg = N // sort_segments
+        parts = [
+            jax.lax.sort(
+                (lin[b * n_seg : (b + 1) * n_seg],)
+                + tuple(c[b * n_seg : (b + 1) * n_seg] for c in cols),
+                dimension=0,
+                num_keys=1,
+            )
+            for b in range(sort_segments)
+        ]
+        lin_s = jnp.concatenate([p[0] for p in parts])
+        vals_s = jnp.stack(
+            [jnp.concatenate([p[i] for p in parts]) for i in range(1, 1 + C)],
+            axis=-1,
+        )
+    else:
+        sorted_ops = jax.lax.sort((lin,) + cols, dimension=0, num_keys=1)
+        lin_s = sorted_ops[0]
+        vals_s = jnp.stack(sorted_ops[1:], axis=-1)
     return _segment_sums_sorted(lin_s, vals_s, num_slots)
 
 
-def _accumulate_sort_fwd(lin, vals, num_slots, impl):
-    return _accumulate_sort(lin, vals, num_slots, impl), lin
+def _accumulate_sort_fwd(lin, vals, num_slots, impl, sort_segments):
+    return _accumulate_sort(lin, vals, num_slots, impl, sort_segments), lin
 
 
-def _accumulate_sort_bwd(num_slots, impl, lin, cot):
+def _accumulate_sort_bwd(num_slots, impl, sort_segments, lin, cot):
     valid = lin < num_slots
     safe = jnp.clip(lin, 0, num_slots - 1)
     grad_vals = jnp.where(
@@ -254,21 +286,28 @@ def points_to_occupancy_grid(
     if method not in ("sort", "pallas"):
         raise ValueError(method)
 
-    # Fold the batch into the key (slot = b*num_cells + cell) and run ONE
-    # flat 1-D sort: a vmapped/batched sort is ~8x slower on TPU even at
-    # B=1 (scripts/scatter_lab5.py). B*num_cells must stay in int32.
+    # Fold the batch into the key (slot = b*num_cells + cell): a
+    # vmapped/batched sort is ~8x slower on TPU even at B=1
+    # (scripts/scatter_lab5.py); instead the flat key sorts as B
+    # independent per-batch 1-D sorts (sort_segments=B) whose
+    # concatenation is already globally sorted — the B=4 occ contract
+    # scaled SUPER-linearly with one flat 8.3M-row sort (62 img/s < the
+    # 69.6 of batch 1). B*num_cells must stay in int32.
     if B * (num_cells + 1) >= 2**31:
         raise ValueError(
             f"batch {B} x grid {num_cells} overflows the int32 sort key"
         )
     batch_off = jnp.arange(B, dtype=jnp.int32)[:, None] * num_cells
-    # dropped rows (lin == num_cells) -> one shared drop slot at the end
-    flat_lin = jnp.where(
-        lin == num_cells, B * num_cells, lin + batch_off
-    ).reshape(-1)
+    # dropped rows -> the batch's own cell 0 (zero payload; in-bounds
+    # points can never hit cell 0 since the reference's bounds test is
+    # strict ijk > 0) — keeps every slice's keys in-range so the
+    # per-batch sorted runs concatenate globally sorted.
+    flat_lin = (jnp.where(lin == num_cells, 0, lin) + batch_off).reshape(-1)
     flat_vals = vals.reshape(B * N, num_classes)
     impl = "pallas" if method == "pallas" else "xla"
-    flat = _accumulate_sort(flat_lin, flat_vals, B * num_cells, impl)
+    flat = _accumulate_sort(
+        flat_lin, flat_vals, B * num_cells, impl, B
+    )
     return flat.reshape(B, gx, gy, gz, num_classes)
 
 

@@ -168,6 +168,7 @@ def segment_sum_sorted_pallas(
     block_k: int = 512,
     block_c: int = 512,
     interpret: bool = False,
+    sort_segments: int = 1,
 ) -> jnp.ndarray:
     """(num_slots, C) = scatter-add of UNSORTED rows, TPU-fast path.
 
@@ -175,6 +176,15 @@ def segment_sum_sorted_pallas(
     scripts/scatter_lab5.py), pads rows to block_k and slots to
     block_c, runs the Pallas merge-schedule kernel, slices back.
     Numerically exact (f32 adds of the same values in sorted order).
+
+    ``sort_segments = B > 1`` splits the sort into B independent 1-D
+    sorts over equal slices of ``lin`` — for batch-folded keys (slice b
+    holds keys in [b*num_cells, (b+1)*num_cells)), concatenating the
+    per-slice sorted runs is globally sorted, and B sorts of N/B rows
+    beat one sort of N rows (lax.sort is O(N log^2 N) bitonic work on
+    TPU; measured on the occupancy contract, see PERF.md). Callers must
+    route every slice's dropped rows to a key *inside that slice's
+    range* with zeroed payload (ops/geometry.py does).
     """
     N = lin.shape[0]
     C = vals.shape[-1]
@@ -182,17 +192,38 @@ def segment_sum_sorted_pallas(
     N_pad = -(-N // block_k) * block_k
     sentinel = jnp.int32(S_pad)
     lin = jnp.where(lin >= num_slots, sentinel, lin)
-    if N_pad != N:
-        lin = jnp.concatenate(
-            [lin, jnp.full((N_pad - N,), sentinel, lin.dtype)]
-        )
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((N_pad - N, C), vals.dtype)]
-        )
     cols = tuple(vals[:, i] for i in range(C))
-    sorted_ops = jax.lax.sort((lin,) + cols, dimension=0, num_keys=1)
+    if sort_segments > 1 and N % sort_segments == 0:
+        n_seg = N // sort_segments
+        parts = []
+        for b in range(sort_segments):
+            sl = slice(b * n_seg, (b + 1) * n_seg)
+            parts.append(
+                jax.lax.sort(
+                    (lin[sl],) + tuple(c[sl] for c in cols),
+                    dimension=0,
+                    num_keys=1,
+                )
+            )
+        sorted_ops = tuple(
+            jnp.concatenate([p[i] for p in parts]) for i in range(1 + C)
+        )
+    else:
+        sorted_ops = jax.lax.sort((lin,) + cols, dimension=0, num_keys=1)
     lin_s = sorted_ops[0]
-    vals_t = jnp.stack(sorted_ops[1:], axis=0)  # (C, N_pad)
+    if N_pad != N:
+        lin_s = jnp.concatenate(
+            [lin_s, jnp.full((N_pad - N,), sentinel, lin_s.dtype)]
+        )
+    vals_t = jnp.stack(
+        [
+            jnp.concatenate([c, jnp.zeros((N_pad - N,), c.dtype)])
+            if N_pad != N
+            else c
+            for c in sorted_ops[1:]
+        ],
+        axis=0,
+    )  # (C, N_pad)
     # pad channels to a full sublane (8) so the (C, K) matmul operand
     # has an aligned second-minor dim
     C_pad = max(8, -(-C // 8) * 8)

@@ -101,20 +101,23 @@ def scale_and_shift_invariant_loss(
 
 
 def _subsample2(x: jnp.ndarray) -> jnp.ndarray:
-    """``x[..., ::2, ::2]`` without strided slicing.
+    """``x[..., ::2, ::2]`` as MXU selection matmuls.
 
     XLA-TPU lowers a stride-2 slice of a 1080p tensor as a gather (and
     its transpose as a scatter into the full-size gradient buffer) —
-    profiled at 4 GB/s / 0.9 GB/s, 43 ms of the round-3 train step.
-    Reshaping to (.., H/2, 2, W/2, 2) and unit-slicing index 0 selects
-    the SAME elements through layout-friendly slices. Falls back to the
-    strided form for odd sizes (never hit on the 1080p 4-scale pyramid).
+    profiled at 4 GB/s / 0.9 GB/s, 43 ms of the round-3 train step; a
+    reshape + unit-slice formulation still materializes copies at
+    5-19 GB/s (~15 ms). Row selection IS a matmul with subsampled
+    identity matrices — ``subsampled_resize_nchw(x, x.shape, 2,
+    "nearest")`` — which runs at matmul bandwidth and is EXACT at any
+    TPU matmul precision (one-hot times value loses no bits, each
+    output sums one nonzero). Falls back to the strided form for odd
+    sizes (never hit on the 1080p 4-scale pyramid).
     """
     H, W = x.shape[-2], x.shape[-1]
     if H % 2 or W % 2:
         return x[..., ::2, ::2]
-    y = x.reshape(*x.shape[:-2], H // 2, 2, W // 2, 2)
-    return y[..., :, 0, :, 0]
+    return subsampled_resize_nchw(x, (H, W), 2, "nearest")
 
 
 def ssi_loss_from_net(

@@ -26,3 +26,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+import pytest  # noqa: E402
+
+# Fast/slow lanes (single-core CI budget): the default run must finish
+# inside a ~10-minute window, so the heavyweight whole-trunk parity and
+# TP-equivalence tests are opt-in via RUN_SLOW=1 (or --slow). The fast
+# lane still covers every module (piece-level parity, semantics,
+# kernels); the slow lane re-verifies whole-model composition.
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow lane: RUN_SLOW=1 or --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -31,6 +31,11 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+# Whole-trunk composition parity is the slow lane: full 384-class
+# models on one CPU core. Piece-level parity (test_torch_parity.py)
+# stays in the fast lane.
+pytestmark = pytest.mark.slow
+
 from test_torch_parity import _copy_attn_weights, _t2n  # noqa: E402
 
 # Accumulated float error over a full 12-24-block trunk is larger than
@@ -695,4 +700,125 @@ def test_vit_hybrid_whole_backbone_vs_hf():
         np.testing.assert_allclose(
             tap, _t2n(out.hidden_states[h + 1]), rtol=RTOL, atol=ATOL,
             err_msg=f"hybrid vit block {h}",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Next-ViT (next_vit_large_6m = dpt_next_vit_large_384): from-spec torch
+# oracle (no timm/bytedance code installable in this environment)
+# ---------------------------------------------------------------------------
+
+
+def test_next_vit_whole_backbone_vs_torch_oracle():
+    """Whole Next-ViT-Large trunk vs an independent torch re-derivation
+    of the official bytedance module (tests/nextvit_torch_oracle.py):
+    all four timm ``features[i]`` hook taps (reference
+    backbones/next_vit.py:18-29, hooks [2, 6, 36, 39]) with randomized
+    params AND non-trivial BatchNorm running statistics, eval mode.
+    Input 224 (the trunk has no resolution-dependent parameters; 224
+    keeps the 40-block forward tractable on one CPU core)."""
+    from nextvit_torch_oracle import NextViTTorch
+
+    from soccdpt_tpu.models.backbones.next_vit import (
+        NEXT_VIT_CONFIGS,
+        NEXT_VIT_HOOKS,
+        make_next_vit_backbone,
+    )
+
+    name, size = "next_vit_large_6m", 224
+    cfg = NEXT_VIT_CONFIGS[name]
+    hooks = NEXT_VIT_HOOKS[name]
+    factory, _ = make_next_vit_backbone(name)
+    model = factory()
+    x = _img(1, size, 120)
+
+    variables = _rand_variables(
+        model, jnp.asarray(x), 121, deterministic=True
+    )
+    # Non-trivial BN running stats: zero-mean/unit-var defaults would
+    # mask swapped or dropped running-stat imports.
+    rng = np.random.default_rng(122)
+    stats = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: (
+            rng.normal(0.0, 0.05, leaf.shape).astype(np.float32)
+            if path[-1].key == "mean"
+            else rng.uniform(0.8, 1.2, leaf.shape).astype(np.float32)
+        ),
+        variables["batch_stats"],
+    )
+    variables = {**variables, "batch_stats": stats}
+    feats = model.apply(variables, jnp.asarray(x), deterministic=True)
+
+    hf = NextViTTorch(
+        stem_chs=cfg.stem_chs,
+        depths=cfg.depths,
+        strides=cfg.strides,
+        sr_ratios=cfg.sr_ratios,
+        head_dim=cfg.head_dim,
+        mix_block_ratio=cfg.mix_block_ratio,
+        divisor=cfg.divisor,
+    )
+
+    params = variables["params"]
+
+    def copy_bn(tbn, p, s):
+        with torch.no_grad():
+            tbn.weight.copy_(torch.tensor(np.asarray(p["scale"])))
+            tbn.bias.copy_(torch.tensor(np.asarray(p["bias"])))
+            tbn.running_mean.copy_(torch.tensor(np.asarray(s["mean"])))
+            tbn.running_var.copy_(torch.tensor(np.asarray(s["var"])))
+
+    def copy_patch_embed(tpe, p, s):
+        if "conv" in p:
+            _copy_conv(tpe.conv, p["conv"])
+            copy_bn(tpe.norm, p["norm"], s["norm"])
+
+    def copy_mhca(tm, p, s):
+        _copy_conv(tm.group_conv3x3, p["group_conv3x3"])
+        copy_bn(tm.norm, p["norm"], s["norm"])
+        _copy_conv(tm.projection, p["projection"])
+
+    def copy_mlp(tm, p):
+        _copy_conv(tm.conv1, p["conv1"])
+        _copy_conv(tm.conv2, p["conv2"])
+
+    for i in range(4):
+        p, s = params[f"stem{i}"], stats[f"stem{i}"]
+        _copy_conv(hf.stem[i].conv, p["conv"])
+        copy_bn(hf.stem[i].norm, p["norm"], s["norm"])
+
+    for blk, (btype, *_rest) in enumerate(cfg.plan()):
+        t = hf.features[blk]
+        p = params[f"features{blk}"]
+        s = stats.get(f"features{blk}", {})
+        if btype == "ncb":
+            copy_patch_embed(t.patch_embed, p.get("patch_embed", {}),
+                             s.get("patch_embed", {}))
+            copy_mhca(t.mhca, p["mhca"], s["mhca"])
+            copy_bn(t.norm, p["norm"], s["norm"])
+            copy_mlp(t.mlp, p["mlp"])
+        else:
+            copy_patch_embed(t.patch_embed, p.get("patch_embed", {}),
+                             s.get("patch_embed", {}))
+            copy_bn(t.norm1, p["norm1"], s["norm1"])
+            for d in ("q", "k", "v", "proj"):
+                _copy_dense(getattr(t.e_mhsa, d), p["e_mhsa"][d])
+            if "norm" in p["e_mhsa"]:
+                copy_bn(t.e_mhsa.norm, p["e_mhsa"]["norm"],
+                        s["e_mhsa"]["norm"])
+            copy_patch_embed(t.projection, p["projection"], s["projection"])
+            copy_mhca(t.mhca, p["mhca"], s["mhca"])
+            copy_bn(t.norm2, p["norm2"], s["norm2"])
+            copy_mlp(t.mlp, p["mlp"])
+    hf.eval()
+
+    with torch.no_grad():
+        torch_taps = hf(_nchw_t(x), set(hooks))
+
+    for lvl, (got, want) in enumerate(zip(feats, torch_taps)):
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.transpose(_t2n(want), (0, 2, 3, 1)),
+            rtol=RTOL, atol=ATOL,
+            err_msg=f"next_vit tap {hooks[lvl]} (level {lvl})",
         )

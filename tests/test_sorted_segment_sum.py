@@ -110,3 +110,29 @@ def test_geometry_pallas_method_matches_scatter():
 
     g_scatter = np.asarray(jax.grad(loss_s)(sem))
     np.testing.assert_allclose(g_pallas, g_scatter, rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_segmented_sort_matches_oracle():
+    """sort_segments=B on batch-folded keys (slice b's keys all in
+    [b*cells, (b+1)*cells)) must equal the flat-sort result and the
+    oracle — per-slice sorted runs concatenate globally sorted."""
+    rng = np.random.default_rng(99)
+    B, n, cells = 4, 256, 48
+    lin_b = rng.integers(0, cells, size=(B, n)).astype(np.int32)
+    lin = (lin_b + np.arange(B)[:, None] * cells).reshape(-1)
+    vals = rng.uniform(size=(B * n, 3)).astype(np.float32)
+    kw = dict(block_k=64, block_c=16, interpret=True)
+    got = np.asarray(
+        segment_sum_sorted_pallas(
+            jnp.asarray(lin), jnp.asarray(vals), B * cells,
+            sort_segments=B, **kw,
+        )
+    )
+    flat = np.asarray(
+        segment_sum_sorted_pallas(
+            jnp.asarray(lin), jnp.asarray(vals), B * cells, **kw
+        )
+    )
+    want = _oracle(lin, vals, B * cells)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, flat, rtol=0, atol=0)

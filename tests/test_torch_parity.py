@@ -726,3 +726,31 @@ def test_vit_act_postprocess_pyramid_vs_reference(ref):
             _nchw(got), _t2n(want), rtol=RTOL, atol=ATOL,
             err_msg=f"act_postprocess{lvl + 1}",
         )
+
+
+def test_toeplitz_bias_expand_matches_gather():
+    """The scatter-free Toeplitz expansion must equal the gather
+    formulation cpb[relative_position_index] bit-for-bit (one-hot
+    matmuls are exact), including a table window larger than the
+    effective window (swin1's resolution-clamped case)."""
+    import jax.numpy as jnp
+
+    from soccdpt_tpu.models.backbones.swin2 import (
+        relative_position_index,
+        toeplitz_bias_expand,
+    )
+
+    rng = np.random.default_rng(5)
+    for wh, ww, twh, tww, H in [(7, 7, None, None, 4), (4, 6, None, None, 3),
+                                (5, 5, 8, 8, 2)]:
+        twh_e = wh if twh is None else twh
+        tww_e = ww if tww is None else tww
+        M = (2 * twh_e - 1) * (2 * tww_e - 1)
+        cpb = rng.standard_normal((M, H)).astype(np.float32)
+        rpi = relative_position_index(wh, ww, twh, tww)
+        want = cpb[rpi.reshape(-1)].reshape(wh * ww, wh * ww, H)
+        want = np.transpose(want, (2, 0, 1))
+        got = np.asarray(
+            toeplitz_bias_expand(jnp.asarray(cpb), wh, ww, twh, tww)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"{wh}x{ww}")

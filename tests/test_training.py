@@ -454,6 +454,7 @@ def test_gt_downscale_preserves_loss_statistics():
     assert rel < 0.15, (losses, rel)
 
 
+@pytest.mark.slow
 def test_tp_product_training_matches_dp(tmp_path):
     """The PRODUCT tensor-parallel path (tcfg.tp -> Trainer builds the
     (data, model) mesh and init_state applies the shardings itself —
@@ -497,6 +498,7 @@ def test_tp_product_training_matches_dp(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
 
 
+@pytest.mark.slow
 def test_checkpoint_restores_across_mesh_topologies(tmp_path):
     """A checkpoint written from a 4x2 dp*tp run restores onto a 1-D
     data mesh (and vice versa) through Trainer.reshard_state — sharded
