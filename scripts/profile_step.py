@@ -69,7 +69,9 @@ def parse_and_print(logdir: str, iters: int, top: int, stage_of):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", choices=["occ", "train"], default="occ")
+    ap.add_argument(
+        "--what", choices=["occ", "train", "occ_train"], default="occ"
+    )
     ap.add_argument("--model_type", default="dpt_swin2_tiny_256")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--train_batch", type=int, default=3)
@@ -134,6 +136,121 @@ def main():
             if "head" in n:
                 return "heads"
             if "resize" in n or "hwc" in n:
+                return "resize"
+            return "other"
+
+        parse_and_print(args.logdir, args.iters, args.top, stage_of)
+        return
+
+    if args.what == "occ_train":
+        # Mirrors scripts/occ_train_roofline.py's step construction
+        # (cli/train_occupancy.py semantics: occ-only optimizer via
+        # optax.masked, frozen leaves stop-gradiented) but profiles a
+        # single jitted step per-HLO-op instead of chained timing.
+        import optax
+        import jax.tree_util as jtu
+
+        from soccdpt_tpu.data.bdd import NUM_CLASSES
+        from soccdpt_tpu.train.losses import masked_bce_loss
+        from soccdpt_tpu.train.patchwise import select_trainable
+
+        mcfg = ModelConfig(
+            model_type=args.model_type,
+            version=3,
+            compute_occ=True,
+            occupancy_head=True,
+            compute_dtype="bfloat16",
+        )
+        model = build_model(mcfg)
+        B = args.batch
+        rng = np.random.default_rng(0)
+        image = rng.standard_normal((B, 3, h, w)).astype(np.float32)
+        gs = tuple(mcfg.occupancy.grid_size) + (NUM_CLASSES,)
+        grid = (rng.random((B,) + gs) < 2e-5).astype(np.float32)
+        variables = structural_init(
+            model, jnp.asarray(image[:1]), deterministic=True, compute_occ=True
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        def occ_only(p):
+            return jtu.tree_map_with_path(
+                lambda path, _: any(
+                    "occupancy_conv" in str(getattr(k, "key", ""))
+                    for k in path
+                ),
+                p,
+            )
+
+        occ_mask = occ_only(params)
+        tx = optax.masked(optax.adam(1e-4), occ_only)
+        opt_state = tx.init(params)
+        pos_weight = float(
+            (grid.size - grid.sum()) / max(grid.sum(), 1.0)
+        )
+        d_image = jax.device_put(jnp.asarray(image))
+        d_grid = jax.device_put(jnp.asarray(grid.reshape(B, -1)))
+        d_mask = jax.device_put(jnp.ones_like(d_grid))
+
+        @jax.jit
+        def step(params, opt_state, batch_stats):
+            def loss_fn(p):
+                p = select_trainable(p, occ_mask)
+                out, updates = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    d_image,
+                    deterministic=False,
+                    compute_occ=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(0)},
+                )
+                pred = out[3]
+                l = masked_bce_loss(
+                    jnp.clip(pred.reshape(B, -1), 1e-6, 1 - 1e-6),
+                    d_grid,
+                    d_mask,
+                    pos_weight=pos_weight,
+                )
+                return l, updates.get("batch_stats", batch_stats)
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, new_stats, loss
+
+        params, opt_state, batch_stats, _ = step(
+            params, opt_state, batch_stats
+        )
+        jax.block_until_ready(params)
+        shutil.rmtree(args.logdir, ignore_errors=True)
+        with jax.profiler.trace(args.logdir):
+            for _ in range(args.iters):
+                params, opt_state, batch_stats, loss = step(
+                    params, opt_state, batch_stats
+                )
+            jax.block_until_ready(loss)
+
+        def stage_of(name, op_type):
+            n = name.lower()
+            if "idle" in n:
+                return "idle"
+            if "occupancy_conv" in n:
+                return "occ_head(f+b)"
+            if "sort" in n or "segment" in n or "one_hot" in n:
+                return "voxelize"
+            if "bce" in n or "loss" in n or "log" in n:
+                return "loss"
+            if "backbone" in n:
+                return "backbone"
+            if "refinenet" in n or "_rn/" in n:
+                return "decoder"
+            if "head" in n:
+                return "heads"
+            if "adam" in n or "update" in n:
+                return "optimizer"
+            if "resize" in n or "bilinear" in n:
                 return "resize"
             return "other"
 

@@ -43,6 +43,12 @@ def _schedule(lin_s, R: int, K: int, O: int, Bc: int, P: int):
     Returns int32 arrays (pr, po, pf, live) of length P:
     pf = first visit of this out tile (initialize), live = real pair
     with in-range rows (padding / empty tiles skip the matmul).
+
+    Empty out tiles get NO visit: the kernel's output aliases a
+    pre-zeroed buffer (input_output_aliases), so a tile no schedule
+    step writes keeps its zeros — this drops the per-tile init visits
+    that made the old grid R + 2*O steps (16.4k extra steps = ~6 ms at
+    the batch-4 occupancy size, where per-step overhead dominates).
     """
     first = lin_s[:: K]  # (R,) first cell id of each row tile
     last = lin_s[K - 1 :: K]  # (R,) last cell id of each row tile
@@ -50,12 +56,20 @@ def _schedule(lin_s, R: int, K: int, O: int, Bc: int, P: int):
     o_idx = jnp.arange(O, dtype=jnp.int32)
     lo = o_idx * Bc
     hi = lo + Bc  # exclusive
-    # row tiles intersecting out tile o: last >= lo and first < hi
-    rs = jnp.searchsorted(last, lo, side="left").astype(jnp.int32)
-    re = jnp.searchsorted(first, hi, side="left").astype(jnp.int32)  # excl
+    # row tiles intersecting out tile o: last >= lo and first < hi.
+    # method="sort": the default binary-search lowering is a vmapped
+    # while-loop of 1-row gathers at ~1.6 GB/s on TPU — 8.4 ms/step at
+    # the batch-4 occupancy size (profile_step.py --what occ --batch 4);
+    # the sort-based lowering is one small O(R+O) sort.
+    rs = jnp.searchsorted(last, lo, side="left", method="sort").astype(
+        jnp.int32
+    )
+    re = jnp.searchsorted(first, hi, side="left", method="sort").astype(
+        jnp.int32
+    )  # excl
     cnt_real = jnp.maximum(re - rs, 0)
     has = cnt_real > 0
-    cnt = jnp.maximum(cnt_real, 1)  # every out tile gets an init visit
+    cnt = cnt_real  # empty tiles: no visit (aliased zeros cover them)
 
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
@@ -65,7 +79,10 @@ def _schedule(lin_s, R: int, K: int, O: int, Bc: int, P: int):
     p_idx = jnp.arange(P, dtype=jnp.int32)
     # po[p] = which out tile: the o whose [starts[o], starts[o+1]) holds p
     po = (
-        jnp.searchsorted(starts, p_idx, side="right").astype(jnp.int32) - 1
+        jnp.searchsorted(
+            starts, p_idx, side="right", method="sort"
+        ).astype(jnp.int32)
+        - 1
     )
     po = jnp.clip(po, 0, O - 1)  # tail pairs re-visit the last tile
     within = p_idx - jnp.take(starts, po)
@@ -77,7 +94,10 @@ def _schedule(lin_s, R: int, K: int, O: int, Bc: int, P: int):
     return pr, po, pf, live
 
 
-def _kernel(pr_ref, po_ref, pf_ref, live_ref, lin_ref, vals_ref, out_ref):
+def _kernel(
+    pr_ref, po_ref, pf_ref, live_ref, lin_ref, vals_ref, acc_ref, out_ref
+):
+    del acc_ref  # HBM-resident zeros, aliased to out — never read here
     p = pl.program_id(0)
     o = po_ref[p]
     base = o * out_ref.shape[1]
@@ -88,9 +108,13 @@ def _kernel(pr_ref, po_ref, pf_ref, live_ref, lin_ref, vals_ref, out_ref):
 
     @pl.when(live_ref[p] == 1)
     def _accum():
-        K = lin_ref.shape[0]
+        K = lin_ref.shape[2]
         Bc = out_ref.shape[1]
-        local = lin_ref[:] - base  # (K, 1)
+        # keys arrive on lanes (1, K); transpose the single 2 KB vector
+        # to sublanes so the one-hot is (K, Bc) and the dot is the
+        # MXU-natural (C, K) @ (K, Bc) — contracting the RHS minor dim
+        # instead costs a 1 MB VREG transpose per step (measured 2.6x).
+        local = (lin_ref[0] - base).T  # (K, 1)
         cols = jax.lax.broadcasted_iota(jnp.int32, (K, Bc), 1)
         oh = (cols == local).astype(vals_ref.dtype)  # (K, Bc)
         # out (C, Bc) += vals (C, K) @ oh (K, Bc)
@@ -131,7 +155,7 @@ def sorted_segment_sum_tpu(
         )
     R = N // block_k
     O = num_slots // block_c
-    P = R + 2 * O  # merge pairs <= R + O - 1, plus one init visit per tile
+    P = R + O  # merge pairs <= R + O - 1 (empty tiles get no visit)
 
     pr, po, pf, live = _schedule(lin_s, R, block_k, O, block_c, P)
 
@@ -139,25 +163,37 @@ def sorted_segment_sum_tpu(
         num_scalar_prefetch=4,
         grid=(P,),
         in_specs=[
-            # (K, 1) blocks: minor dim 1 equals the array's, second-minor
-            # K is 8-divisible — the layouts Mosaic accepts
+            # (1, 1, K) blocks of the (R, 1, K)-reshaped keys: the minor
+            # dim is lane-sized, so the reshape from (N,) is a free
+            # row-major view — the previous (N, 1) layout cost a 6.5 ms
+            # relayout at 9.5 GB/s (profile_step.py --what occ --batch 4,
+            # round 4). The unit middle dim satisfies Mosaic's rule that
+            # the block's second-minor dim divide 8 or equal the array's.
             pl.BlockSpec(
-                (block_k, 1), lambda p, pr, po, pf, live: (pr[p], 0)
+                (1, 1, block_k), lambda p, pr, po, pf, live: (pr[p], 0, 0)
             ),
             pl.BlockSpec(
                 (C, block_k), lambda p, pr, po, pf, live: (0, pr[p])
             ),
+            # pre-zeroed accumulator, aliased to the output below: stays
+            # in HBM (never read by the kernel); out tiles the schedule
+            # never visits keep its zeros.
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (C, block_c), lambda p, pr, po, pf, live: (0, po[p])
         ),
     )
+    zeros = jnp.zeros((C, num_slots), jnp.float32)
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, num_slots), jnp.float32),
+        # operand index counts the scalar-prefetch args (pr, po, pf,
+        # live) first, then (lin, vals, zeros) -> zeros is input 6.
+        input_output_aliases={6: 0},
         interpret=interpret,
-    )(pr, po, pf, live, lin_s.reshape(N, 1), vals_t)
+    )(pr, po, pf, live, lin_s.reshape(R, 1, block_k), vals_t, zeros)
     return out
 
 

@@ -112,6 +112,40 @@ def test_geometry_pallas_method_matches_scatter():
     np.testing.assert_allclose(g_pallas, g_scatter, rtol=1e-5, atol=1e-5)
 
 
+def test_kernel_empty_trailing_tiles_stay_zero():
+    """No-init-visit schedule (round 4): out tiles the schedule never
+    visits must keep the aliased zeros, including when tail (padding)
+    pairs are clipped onto trailing EMPTY tiles. Verified exact on the
+    real TPU (round 4); this guards the interpret path."""
+    N, S, C = 256, 512, 3
+    lin = np.full((N,), 3, np.int32)  # everything lands in out tile 0
+    vals = np.ones((N, C), np.float32)
+    got = np.asarray(
+        segment_sum_sorted_pallas(
+            jnp.asarray(lin), jnp.asarray(vals), S,
+            block_k=64, block_c=64, interpret=True,
+        )
+    )
+    want = np.zeros((S, C), np.float32)
+    want[3] = N
+    np.testing.assert_allclose(got, want)
+
+
+def test_kernel_all_rows_dropped():
+    """total == 0 merge pairs: every row carries the OOB sentinel; the
+    whole output must be the aliased zeros."""
+    N, S, C = 128, 256, 2
+    lin = np.full((N,), S + 5, np.int32)
+    vals = np.ones((N, C), np.float32)
+    got = np.asarray(
+        segment_sum_sorted_pallas(
+            jnp.asarray(lin), jnp.asarray(vals), S,
+            block_k=64, block_c=64, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, np.zeros((S, C), np.float32))
+
+
 def test_kernel_segmented_sort_matches_oracle():
     """sort_segments=B on batch-folded keys (slice b's keys all in
     [b*cells, (b+1)*cells)) must equal the flat-sort result and the
