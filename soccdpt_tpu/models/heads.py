@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -91,12 +92,98 @@ class IdentityHead(nn.Module):
         return x
 
 
+class _Conv3DFolded(nn.Module):
+    """A (3,3,3) 3-D conv evaluated as one dense MXU-shaped 2-D conv.
+
+    XLA lowers small-channel 3-D convolutions on TPU as bandwidth-bound
+    loop fusions: the per-HLO profile of the occupancy train step
+    measured ONE backward conv of the old ``nn.Conv(8, (3,3,3))`` at
+    24 ms running at 1.8 GB/s (PERF.md, occ-train attribution). Folding
+    the depth axis into channels turns the same contraction into a (3,3)
+    2-D conv with Z*Cin -> Z*Cout channels whose weight is block-banded
+    in Z — built on the fly from the UNCHANGED (3,3,3,Cin,Cout) kernel
+    parameter, so checkpoints, importers, and init stay byte-identical.
+    The dense Z x Z mixing spends ~10x the minimal FLOPs, but they run
+    on the MXU instead of as serial window loops; the zero blocks
+    contribute exact zeros, so the output equals the 3-D conv up to
+    f32/bf16 reduction order (equivalence-tested in
+    tests/test_models.py::test_occupancy_head_folded_matches_conv3d).
+    """
+
+    features: int
+    depth: int  # Z of the (B, X, Y, Z*Cin) depth-folded input
+    split_pairs: bool = False  # emit (z-parity, z//2, c) channel order
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        zc = x.shape[-1]
+        z_dim, cout = self.depth, self.features
+        cin = zc // z_dim
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, cin, cout),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+        # Band selector: a SAME-padded kernel-3 conv reads input plane
+        # z = zp + k - 1 for output plane zp at kernel offset k; out-of-
+        # range planes fall outside the selector and become zero blocks,
+        # which IS the zero padding.
+        z = jnp.arange(z_dim)
+        if self.split_pairs:
+            # Output channel order (r, q, o) with plane p = 2q + r: the
+            # following (2,2,2) max pool then splits channels at the
+            # lane-aligned midpoint Z/2*cout instead of interleaving
+            # 2*cout-wide pairs — the interleaved reshape-max ran its
+            # eq/div/broadcast backward at 20-30 GB/s (minor dim 8).
+            p_order = jnp.concatenate(
+                [jnp.arange(0, z_dim, 2), jnp.arange(1, z_dim, 2)]
+            )
+        else:
+            p_order = z
+        sel = (
+            z[None, :, None]
+            == p_order[None, None, :] + jnp.arange(3)[:, None, None] - 1
+        ).astype(self.dtype)
+        w2 = jnp.einsum(
+            "kzp,hwkio->hwzipo", sel, kernel.astype(self.dtype)
+        ).reshape(3, 3, z_dim * cin, z_dim * cout)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w2,
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + jnp.tile(bias.astype(self.dtype), z_dim)
+
+
+def _max_pool_222_split(x: jnp.ndarray) -> jnp.ndarray:
+    """Non-overlapping (2,2,2) max pool on the depth-folded layout whose
+    channels are in (z-parity, z//2, c) order (``split_pairs=True``).
+
+    reshape+max instead of ``nn.max_pool``'s reduce_window: the 3-D
+    select_and_scatter backward was measured at ~8 ms/step in the occ
+    train profile, while max over reshaped axes differentiates as cheap
+    select fusions. The parity-major channel order keeps the reduced
+    minor dim at Z/2*C (lane-sized) rather than C.
+    Output channels come out in standard (z', c) order.
+    """
+    b, xx, yy, k = x.shape
+    x = x.reshape(b, xx // 2, 2, yy // 2, 2, 2, k // 2)
+    return x.max(axis=(2, 4, 5))
+
+
 class OccupancyHead(nn.Module):
     """3D-conv occupancy refiner. The reference declares this network but
     ships ``nn.Identity`` (commented out at SOccDPT.py:231-245); here it
     is real, per SURVEY.md §3.4's note to "make this head real".
 
     Input/output: (B, X, Y, Z, C) occupancy logits -> probabilities.
+    Compute path is depth-folded 2-D convs (see ``_Conv3DFolded``); the
+    parameter tree is plain (3,3,3) conv kernels, unchanged.
     """
 
     num_classes: int = 3
@@ -107,17 +194,28 @@ class OccupancyHead(nn.Module):
     def __call__(self, g: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         if self.identity:
             return g
-        x = nn.Conv(8, (3, 3, 3), padding=1, dtype=self.dtype, name="conv1")(g)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
-        x = nn.Conv(16, (3, 3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
-        x = nn.Conv(32, (3, 3, 3), padding=1, dtype=self.dtype, name="conv3")(x)
-        x = nn.relu(x)
-        x = nn.Conv(
-            self.num_classes, (3, 3, 3), padding=1, dtype=self.dtype, name="conv4"
+        b, gx, gy, gz, c = g.shape
+        x = g.reshape(b, gx, gy, gz * c).astype(self.dtype)
+        z = gz
+        x = nn.relu(
+            _Conv3DFolded(
+                8, depth=z, split_pairs=True, dtype=self.dtype, name="conv1"
+            )(x)
+        )
+        x = _max_pool_222_split(x)
+        z //= 2
+        x = nn.relu(
+            _Conv3DFolded(
+                16, depth=z, split_pairs=True, dtype=self.dtype, name="conv2"
+            )(x)
+        )
+        x = _max_pool_222_split(x)
+        z //= 2
+        x = nn.relu(_Conv3DFolded(32, depth=z, dtype=self.dtype, name="conv3")(x))
+        x = _Conv3DFolded(
+            self.num_classes, depth=z, dtype=self.dtype, name="conv4"
         )(x)
+        x = x.reshape(b, gx // 4, gy // 4, z, self.num_classes)
         # Loss-facing logits in f32: a bf16 sigmoid quantizes probabilities
         # to ~2^-9 steps around 0.5, which staircases the BCE loss.
         x = x.astype(jnp.float32)

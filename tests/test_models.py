@@ -337,3 +337,61 @@ def test_serving_batch_sharded_matches_unsharded():
             atol=1e-5, rtol=1e-5,
         )
     assert bool(jnp.all(jnp.isfinite(got[2])))
+
+
+def test_occupancy_head_folded_matches_conv3d():
+    """The depth-folded MXU path of OccupancyHead equals a plain 3-D
+    nn.Conv chain run on the SAME parameters (the param tree is the
+    (3,3,3) kernels either way). Oracle is written inline here so the
+    product path has no 3-D convs left to share bugs with."""
+    from flax import linen as nn
+
+    from soccdpt_tpu.models.heads import OccupancyHead
+    from soccdpt_tpu.ops.resize import resize_hw
+
+    class Oracle3D(nn.Module):
+        num_classes: int = 3
+
+        @nn.compact
+        def __call__(self, g):
+            x = nn.Conv(8, (3, 3, 3), padding=1, name="conv1")(g)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+            x = nn.Conv(16, (3, 3, 3), padding=1, name="conv2")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+            x = nn.Conv(32, (3, 3, 3), padding=1, name="conv3")(x)
+            x = nn.relu(x)
+            x = nn.Conv(self.num_classes, (3, 3, 3), padding=1, name="conv4")(x)
+            x = x.astype(jnp.float32)
+            B, X, Y, Z, C = x.shape
+            gx, gy, gz = g.shape[1:4]
+            x = resize_hw(
+                x.reshape(B, X, Y, Z * C), (gx, gy), "bilinear"
+            ).reshape(B, gx, gy, Z, C)
+            x = resize_hw(
+                x.transpose(0, 3, 1, 2, 4).reshape(B, Z, gx, gy * C),
+                (gz, gx),
+                "bilinear",
+            ).reshape(B, gz, gx, gy, C).transpose(0, 2, 3, 1, 4)
+            return nn.sigmoid(x)
+
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.standard_normal((2, 16, 16, 8, 3)), jnp.float32)
+    head = OccupancyHead(num_classes=3, identity=False, dtype=jnp.float32)
+    variables = head.init(jax.random.PRNGKey(0), g)
+    want = Oracle3D(num_classes=3).apply(variables, g)
+    got = head.apply(variables, g)
+    assert got.shape == g.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-6, rtol=1e-5
+    )
+
+    # and the folded path is differentiable w.r.t. the kernels
+    def loss(v):
+        return jnp.sum(head.apply(v, g) ** 2)
+
+    grads = jax.grad(loss)(variables)
+    leaf = grads["params"]["conv1"]["kernel"]
+    assert leaf.shape == (3, 3, 3, 3, 8)
+    assert bool(jnp.any(leaf != 0))
