@@ -38,7 +38,7 @@ def main(argv=None):
     import optax
 
     from ..core.checkpoint import checkpoint_dir, save_checkpoint
-    from ..core.config import ModelConfig
+    from ..core.config import GT_OCCUPANCY, ModelConfig
     from ..data.bdd import BDDOccupancy, get_bdd_dataset
     from ..data.loader import iterate_batches, split_train_val
     from ..data.transforms import load_transforms
@@ -83,10 +83,27 @@ def main(argv=None):
         "SOccDPT.py:145-150); auto = only when <5%% of points land in "
         "the grid volume under the reference constants",
     )
+    parser.add_argument(
+        "--grid",
+        type=int,
+        nargs=3,
+        default=None,
+        metavar=("GX", "GY", "GZ"),
+        help="occupancy grid resolution override (default 256 256 32); "
+        "applies to both the GT voxelizer and the model's grid/head. "
+        "GX/GY and GZ must be divisible by 4 (two 2x pools in the head)",
+    )
     args = parser.parse_args(argv)
 
     transform, _, _ = load_transforms(args.model_type)
-    dataset = get_bdd_dataset(BDDOccupancy, transform, args.base_path)
+    ds_kwargs = {}
+    if args.grid:
+        ds_kwargs["occ"] = dataclasses.replace(
+            GT_OCCUPANCY, grid_size=tuple(args.grid)
+        )
+    dataset = get_bdd_dataset(
+        BDDOccupancy, transform, args.base_path, dataset_kwargs=ds_kwargs
+    )
     # GT frames and unprojection run at the calib camera resolution
     first = dataset.datasets[0]
     camera = first.seq.camera
@@ -102,6 +119,13 @@ def main(argv=None):
         compute_dtype="bfloat16",
         camera=camera,
     )
+    if args.grid:
+        mcfg = dataclasses.replace(
+            mcfg,
+            occupancy=dataclasses.replace(
+                mcfg.occupancy, grid_size=tuple(args.grid)
+            ),
+        )
     model = build_model(mcfg)
 
     sample = train_set[0]

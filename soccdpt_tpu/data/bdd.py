@@ -380,6 +380,7 @@ def get_bdd_dataset(
     base_path: str,
     sequences: Optional[Sequence[str]] = None,
     settings_doc: Optional[str] = None,
+    dataset_kwargs: Optional[dict] = None,
 ) -> ConcatDataset:
     """Concat the training sequences (reference hardcodes six,
     bengaluru_driving_dataset.py:172-207; here the reference list is the
@@ -406,6 +407,7 @@ def get_bdd_dataset(
                 dataset_path=os.path.join(base_path, seq),
                 settings_doc=settings_doc,
                 transform=transform,
+                **(dataset_kwargs or {}),
             )
             for seq in sequences
         ]

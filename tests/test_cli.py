@@ -142,6 +142,9 @@ def test_train_occupancy_cli(bdd_tree, tmp_path, monkeypatch):
             "--epochs", "1",
             "--max_steps", "1",
             "--val_percent", "0.34",
+            # tiny grid: the default 256x256x32 voxelizer+head graph
+            # costs ~40 s of CPU compile+execute in this one test
+            "--grid", "32", "32", "8",
             "-c", str(tmp_path / "ckpts"),
         ]
     )

@@ -213,6 +213,7 @@ def test_frozen_params_not_decayed():
         np.testing.assert_array_equal(b, a)
 
 
+@pytest.mark.slow  # remat flag depth test; trainer stays covered fast-lane
 def test_remat_backbone_trains():
     trainer = Trainer(
         tiny_mcfg(),
@@ -264,6 +265,7 @@ def test_tp_sharded_params_match_replicated_forward():
     )
 
 
+@pytest.mark.slow  # checkpoint module stays covered by test_checkpoint_roundtrip
 def test_full_state_checkpoint_resume_continues_identically():
     """Save params+opt_state mid-training, restore, and verify the next
     step produces identical loss (true resume, not just weights)."""
@@ -320,6 +322,7 @@ def test_full_state_checkpoint_resume_continues_identically():
     )
 
 
+@pytest.mark.slow  # double Trainer trace+lower dominates; single-instance paths stay fast-lane
 def test_training_is_deterministic_across_instances():
     """Same seeds -> bit-identical losses from two fresh Trainers
     (SURVEY.md §5.2 determinism; reference train_SOccDPT.py:150-154)."""
@@ -343,6 +346,7 @@ def test_training_is_deterministic_across_instances():
     np.testing.assert_array_equal(run(), run())
 
 
+@pytest.mark.slow  # patchwise stays covered by test_train_step_patchwise_two_patches
 def test_patchwise_snapshot_vs_inplace_semantics():
     """patchwise_mode="snapshot" (reference PatchWise,
     patchwise_training/__init__.py:9-145): every patch trains from the

@@ -139,6 +139,7 @@ def test_pallas_attention_gradients_match_xla(with_mask):
         )
 
 
+@pytest.mark.slow  # retired opt-in kernel (PERF.md); 39 s of the fast lane
 def test_backbone_pallas_training_gradients():
     """use_pallas now composes with jax.grad (the round-1 trainer guard
     is gone): gradients through a Pallas-attention backbone are finite
