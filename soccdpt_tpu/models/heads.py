@@ -113,6 +113,7 @@ class _Conv3DFolded(nn.Module):
     features: int
     depth: int  # Z of the (B, X, Y, Z*Cin) depth-folded input
     split_pairs: bool = False  # emit (z-parity, z//2, c) channel order
+    fold_in: str = "zc"  # input channel order: z*Cin+c ("zc") or c*Z+z ("cz")
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -147,9 +148,14 @@ class _Conv3DFolded(nn.Module):
             z[None, :, None]
             == p_order[None, None, :] + jnp.arange(3)[:, None, None] - 1
         ).astype(self.dtype)
-        w2 = jnp.einsum(
-            "kzp,hwkio->hwzipo", sel, kernel.astype(self.dtype)
-        ).reshape(3, 3, z_dim * cin, z_dim * cout)
+        # fold_in="cz": the voxelizer hands the grid over in its native
+        # channel-minor order (c*Z + z) so no minor-3 relayout happens
+        # between the Pallas kernel and this conv; the weight rows are
+        # permuted to match instead (free — built from the tiny kernel).
+        spec = "kzp,hwkio->hwzipo" if self.fold_in == "zc" else "kzp,hwkio->hwizpo"
+        w2 = jnp.einsum(spec, sel, kernel.astype(self.dtype)).reshape(
+            3, 3, z_dim * cin, z_dim * cout
+        )
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             w2,
@@ -189,6 +195,11 @@ class OccupancyHead(nn.Module):
     is real, per SURVEY.md §3.4's note to "make this head real".
 
     Input/output: (B, X, Y, Z, C) occupancy logits -> probabilities.
+    A 4-D input (B, X, Y, C*Z) is accepted as the voxelizer's native
+    channel-minor folded layout (``grid_layout="folded_cz"`` in
+    ``ops/geometry.py``) — it skips the minor-3 relayout between the
+    Pallas segment-sum and conv1 (measured ~3.2 ms/step of
+    convert_element_type data formatting in the occ-train profile).
     Compute path is depth-folded 2-D convs (see ``_Conv3DFolded``); the
     parameter tree is plain (3,3,3) conv kernels, unchanged.
     """
@@ -201,12 +212,25 @@ class OccupancyHead(nn.Module):
     def __call__(self, g: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         if self.identity:
             return g
-        b, gx, gy, gz, c = g.shape
-        x = g.reshape(b, gx, gy, gz * c).astype(self.dtype)
+        if g.ndim == 4:  # (B, X, Y, C*Z) folded, channel-major c*Z+z
+            b, gx, gy, zc = g.shape
+            c = self.num_classes
+            gz = zc // c
+            x = g.astype(self.dtype)
+            fold_in = "cz"
+        else:
+            b, gx, gy, gz, c = g.shape
+            x = g.reshape(b, gx, gy, gz * c).astype(self.dtype)
+            fold_in = "zc"
         z = gz
         x = nn.relu(
             _Conv3DFolded(
-                8, depth=z, split_pairs=True, dtype=self.dtype, name="conv1"
+                8,
+                depth=z,
+                split_pairs=True,
+                fold_in=fold_in,
+                dtype=self.dtype,
+                name="conv1",
             )(x)
         )
         x = _max_pool_222_split(x)

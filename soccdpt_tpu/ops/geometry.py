@@ -132,13 +132,14 @@ def _segment_sums_sorted(
     return jnp.where((ends > 0)[:, None], gathered, 0.0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _accumulate_sort(
     lin: jnp.ndarray,
     vals: jnp.ndarray,
     num_slots: int,
     impl: str = "xla",
     sort_segments: int = 1,
+    transposed: bool = False,
 ):
     """sum_n vals[n] into slot lin[n] (rows with lin >= num_slots drop),
     via a 1-D sort + segment reduction — NEVER under vmap: a batched
@@ -160,12 +161,19 @@ def _accumulate_sort(
     scan. Custom VJP: the true gradient of a scatter-add w.r.t.
     ``vals`` is a plain gather of the cotangent at each row's slot —
     cheap and exact — so the backward never differentiates through the
-    sort."""
+    sort.
+
+    ``transposed=True`` returns (C, num_slots) — the Pallas kernel's
+    NATIVE channel-minor layout, skipping its final (num_slots, C)
+    transpose whose minor-3 retile cost ~3 ms/step downstream in the
+    occ-train profile (consumers that want the folded grid layout take
+    this and transpose once, fused with their own cast)."""
     if impl == "pallas":
         from .sorted_segment_sum import segment_sum_sorted_pallas
 
         return segment_sum_sorted_pallas(
-            lin, vals, num_slots, sort_segments=sort_segments
+            lin, vals, num_slots, sort_segments=sort_segments,
+            transposed=transposed,
         )
     C = vals.shape[-1]
     N = lin.shape[0]
@@ -190,19 +198,25 @@ def _accumulate_sort(
         sorted_ops = jax.lax.sort((lin,) + cols, dimension=0, num_keys=1)
         lin_s = sorted_ops[0]
         vals_s = jnp.stack(sorted_ops[1:], axis=-1)
-    return _segment_sums_sorted(lin_s, vals_s, num_slots)
+    out = _segment_sums_sorted(lin_s, vals_s, num_slots)
+    return out.T if transposed else out
 
 
-def _accumulate_sort_fwd(lin, vals, num_slots, impl, sort_segments):
-    return _accumulate_sort(lin, vals, num_slots, impl, sort_segments), lin
+def _accumulate_sort_fwd(lin, vals, num_slots, impl, sort_segments, transposed):
+    return (
+        _accumulate_sort(lin, vals, num_slots, impl, sort_segments, transposed),
+        lin,
+    )
 
 
-def _accumulate_sort_bwd(num_slots, impl, sort_segments, lin, cot):
+def _accumulate_sort_bwd(num_slots, impl, sort_segments, transposed, lin, cot):
     valid = lin < num_slots
     safe = jnp.clip(lin, 0, num_slots - 1)
-    grad_vals = jnp.where(
-        valid[:, None], jnp.take(cot, safe, axis=0), 0.0
+    taken = (
+        jnp.take(cot, safe, axis=1).T if transposed
+        else jnp.take(cot, safe, axis=0)
     )
+    grad_vals = jnp.where(valid[:, None], taken, 0.0)
     return np.zeros(lin.shape, jax.dtypes.float0), grad_vals
 
 
@@ -217,11 +231,17 @@ def points_to_occupancy_grid(
     mode: str = "prob",
     threshold: float = 0.5,
     method: str = "auto",
+    layout: str = "grid5d",
 ) -> jnp.ndarray:
     """Voxelize semantic points into a per-batch occupancy grid.
 
     points: (B, N, 3) in meters; semantics: (B, N, C) class scores.
-    Returns (B, gx, gy, gz, C) accumulated counts/weights.
+    Returns (B, gx, gy, gz, C) accumulated counts/weights — or, with
+    layout="folded_cz", the depth-folded (B, gx, gy, C*gz) view (channel
+    index c*gz + z) that the real OccupancyHead consumes directly: the
+    sort/pallas routes then hand over the kernel's native channel-minor
+    buffer with ONE fused transpose instead of materializing the 5-D
+    minor-3 tensor (~3 ms/step of relayout in the occ-train profile).
 
     mode="prob"  — accumulate class probabilities (differentiable w.r.t.
                    semantics; replaces the reference's ``nonzero`` +
@@ -274,6 +294,8 @@ def points_to_occupancy_grid(
         on_tpu = jax.default_backend() == "tpu"
         method = "pallas" if (on_tpu and N >= 16384) else "scatter"
 
+    if layout not in ("grid5d", "folded_cz"):
+        raise ValueError(layout)
     if method == "scatter":
 
         def scatter_one(lin_b, vals_b):
@@ -281,7 +303,12 @@ def points_to_occupancy_grid(
             flat = flat.at[lin_b].add(vals_b, mode="drop")
             return flat.reshape(gx, gy, gz, num_classes)
 
-        return jax.vmap(scatter_one)(lin, vals)
+        grid5 = jax.vmap(scatter_one)(lin, vals)
+        if layout == "folded_cz":
+            return grid5.transpose(0, 1, 2, 4, 3).reshape(
+                B, gx, gy, num_classes * gz
+            )
+        return grid5
 
     if method not in ("sort", "pallas"):
         raise ValueError(method)
@@ -305,6 +332,17 @@ def points_to_occupancy_grid(
     flat_lin = (jnp.where(lin == num_cells, 0, lin) + batch_off).reshape(-1)
     flat_vals = vals.reshape(B * N, num_classes)
     impl = "pallas" if method == "pallas" else "xla"
+    if layout == "folded_cz":
+        # kernel-native (C, B*cells) buffer; one transpose lands it in
+        # the depth-folded channel order c*gz + z the head consumes
+        flat_t = _accumulate_sort(
+            flat_lin, flat_vals, B * num_cells, impl, B, True
+        )
+        return (
+            flat_t.reshape(num_classes, B, gx, gy, gz)
+            .transpose(1, 2, 3, 0, 4)
+            .reshape(B, gx, gy, num_classes * gz)
+        )
     flat = _accumulate_sort(
         flat_lin, flat_vals, B * num_cells, impl, B
     )
@@ -320,6 +358,7 @@ def get_semantic_occupancy(
     compute_occ: bool = False,
     occ_mode: str = "prob",
     output_size: Optional[Tuple[int, int]] = None,
+    grid_layout: str = "grid5d",
 ):
     """Reference ``SOccDPT.get_semantic_occupancy`` (SOccDPT.py:264-372),
     vectorized and jit-friendly.
@@ -362,7 +401,7 @@ def get_semantic_occupancy(
         pts = rotate_points(pts, occ.correction_angle)
         sem = seg_up.reshape(seg_up.shape[0], num_classes, -1).transpose(0, 2, 1)
         occupancy_grid = points_to_occupancy_grid(
-            pts, sem, occ, num_classes, mode=occ_mode
+            pts, sem, occ, num_classes, mode=occ_mode, layout=grid_layout
         )
 
     return inv_depth_up, seg_up, points, occupancy_grid

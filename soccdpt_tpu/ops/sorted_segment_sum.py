@@ -205,8 +205,11 @@ def segment_sum_sorted_pallas(
     block_c: int = 512,
     interpret: bool = False,
     sort_segments: int = 1,
+    transposed: bool = False,
 ) -> jnp.ndarray:
     """(num_slots, C) = scatter-add of UNSORTED rows, TPU-fast path.
+    ``transposed=True`` returns the kernel's native (C, num_slots)
+    channel-minor layout instead — no transpose at all.
 
     Sorts (key + C payload columns, 1-D — never under vmap:
     scripts/scatter_lab5.py), pads rows to block_k and slots to
@@ -270,4 +273,5 @@ def segment_sum_sorted_pallas(
     out_t = sorted_segment_sum_tpu(
         lin_s, vals_t.astype(jnp.float32), S_pad, block_k, block_c, interpret
     )
-    return out_t[:C, :num_slots].T
+    out_t = out_t[:C, :num_slots]
+    return out_t if transposed else out_t.T

@@ -187,3 +187,75 @@ def test_get_semantic_occupancy_zero_inv_depth_finite():
     seg = np.ones((1, 1, 8, 8), np.float32)
     _, _, points, _ = get_semantic_occupancy(inv_depth, seg, CAM, OCC, 1)
     assert bool(np.isfinite(np.asarray(points)).all())
+
+
+def test_voxelize_folded_cz_layout_matches_grid5d():
+    """layout="folded_cz" (the depth-folded channel-minor view the real
+    OccupancyHead consumes; channel index c*gz + z) must equal the 5-D
+    grid transposed, on every method, with matching custom-VJP grads."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    B, N, C = 2, 900, 3
+    gx, gy, gz = OCC.grid_size
+    shape_m = np.asarray(OCC.occupancy_shape, np.float32)
+    points = (rng.random((B, N, 3)).astype(np.float32) * 1.4 - 0.2) * shape_m
+    semantics = rng.random((B, N, C)).astype(np.float32)
+
+    grid5 = np.asarray(
+        points_to_occupancy_grid(points, semantics, OCC, C, method="scatter")
+    )
+    want = grid5.transpose(0, 1, 2, 4, 3).reshape(B, gx, gy, C * gz)
+    for method in ("scatter", "sort", "pallas"):
+        kw = {"interpret": True} if method == "pallas" else {}
+        if method == "pallas":
+            from soccdpt_tpu.ops.sorted_segment_sum import (
+                segment_sum_sorted_pallas,
+            )
+
+            # interpret-mode kernel, transposed output, small blocks
+            lin = jnp.asarray(
+                rng.integers(0, 64, size=(256,), dtype=np.int32)
+            )
+            vals = jnp.asarray(rng.random((256, C)).astype(np.float32))
+            out_t = np.asarray(
+                segment_sum_sorted_pallas(
+                    lin, vals, 64, block_k=64, block_c=64,
+                    interpret=True, transposed=True,
+                )
+            )
+            out = np.asarray(
+                segment_sum_sorted_pallas(
+                    lin, vals, 64, block_k=64, block_c=64, interpret=True
+                )
+            )
+            np.testing.assert_array_equal(out_t, out.T)
+            continue
+        got = np.asarray(
+            points_to_occupancy_grid(
+                points, semantics, OCC, C, method=method, layout="folded_cz"
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4, err_msg=method)
+
+    # the transposed custom-VJP path grads match the grid5d path
+    w5 = rng.random(grid5.shape[1:]).astype(np.float32)
+    # same weights in both layouts -> identical scalar losses and grads
+    wf = np.ascontiguousarray(
+        w5.transpose(0, 1, 3, 2).reshape(gx, gy, C * gz)
+    )
+
+    def loss5(s):
+        g = points_to_occupancy_grid(points, s, OCC, C, method="sort")
+        return (g * w5).sum()
+
+    def lossf(s):
+        g = points_to_occupancy_grid(
+            points, s, OCC, C, method="sort", layout="folded_cz"
+        )
+        return (g * wf).sum()
+
+    g5 = np.asarray(jax.grad(loss5)(semantics))
+    gf = np.asarray(jax.grad(lossf)(semantics))
+    np.testing.assert_allclose(g5, gf, rtol=1e-5, atol=1e-5)

@@ -395,3 +395,13 @@ def test_occupancy_head_folded_matches_conv3d():
     leaf = grads["params"]["conv1"]["kernel"]
     assert leaf.shape == (3, 3, 3, 3, 8)
     assert bool(jnp.any(leaf != 0))
+
+    # 4-D depth-folded channel-minor input (the voxelizer's native
+    # layout, channel index c*gz + z) produces the identical output
+    b, gx, gy, gz, c = g.shape
+    g_folded = g.transpose(0, 1, 2, 4, 3).reshape(b, gx, gy, c * gz)
+    got_folded = head.apply(variables, g_folded)
+    assert got_folded.shape == g.shape
+    np.testing.assert_allclose(
+        np.asarray(got_folded), np.asarray(got), atol=2e-6, rtol=1e-5
+    )
