@@ -84,12 +84,29 @@ def _schedule(lin_s, R: int, K: int, O: int, Bc: int, P: int):
         ).astype(jnp.int32)
         - 1
     )
-    po = jnp.clip(po, 0, O - 1)  # tail pairs re-visit the last tile
+    po = jnp.clip(po, 0, O - 1)
+    # Tail padding steps (p >= total; P > total always) must NOT visit a
+    # tile no real step wrote: on real TPU, Pallas flushes the output
+    # VMEM window to HBM when the out index changes (and at grid end)
+    # and never loads output windows from HBM — a tail visit to an
+    # unwritten tile would copy stale VMEM from a previously visited
+    # tile over that tile's pre-zeroed aliased HBM block (the interpret
+    # emulator reads blocks back from the zeroed buffer and cannot see
+    # this). Route tails to the tile of the LAST real step: same out
+    # index, so the window stays resident and the one grid-end flush
+    # writes that tile's correct, initialized contents. If the schedule
+    # is entirely empty (total == 0), route to tile 0 and force an init
+    # visit at step 0 so the flushed window is explicit zeros.
+    is_tail = p_idx >= total
+    last_po = jnp.take(po, jnp.maximum(total - 1, 0))
+    tail_po = jnp.where(total > 0, last_po, 0)
+    po = jnp.where(is_tail, tail_po, po)
     within = p_idx - jnp.take(starts, po)
     pr = jnp.clip(jnp.take(rs, po) + within, 0, R - 1)
-    pf = ((within == 0) & (p_idx < total)).astype(jnp.int32)
+    pf = ((within == 0) & ~is_tail).astype(jnp.int32)
+    pf = jnp.where((total == 0) & (p_idx == 0), 1, pf)
     live = (
-        (p_idx < total) & jnp.take(has, po) & (within < jnp.take(cnt_real, po))
+        ~is_tail & jnp.take(has, po) & (within < jnp.take(cnt_real, po))
     ).astype(jnp.int32)
     return pr, po, pf, live
 
@@ -221,19 +238,34 @@ def segment_sum_sorted_pallas(
     holds keys in [b*num_cells, (b+1)*num_cells)), concatenating the
     per-slice sorted runs is globally sorted, and B sorts of N/B rows
     beat one sort of N rows (lax.sort is O(N log^2 N) bitonic work on
-    TPU; measured on the occupancy contract, see PERF.md). Callers must
-    route every slice's dropped rows to a key *inside that slice's
-    range* with zeroed payload (ops/geometry.py does).
+    TPU; measured on the occupancy contract, see PERF.md). OOB rows
+    (key >= num_slots or < 0) are routed to the owning slice's TOP key
+    with zeroed payload — a mid-array global sentinel would break the
+    sortedness the kernel schedule requires. Requires N and num_slots
+    both divisible by B (the batch-folded convention); otherwise falls
+    back to one flat sort.
     """
     N = lin.shape[0]
     C = vals.shape[-1]
     S_pad = -(-num_slots // block_c) * block_c
     N_pad = -(-N // block_k) * block_k
     sentinel = jnp.int32(S_pad)
-    lin = jnp.where(lin >= num_slots, sentinel, lin)
-    cols = tuple(vals[:, i] for i in range(C))
-    if sort_segments > 1 and N % sort_segments == 0:
+    use_segments = (
+        sort_segments > 1
+        and N % sort_segments == 0
+        and num_slots % sort_segments == 0
+    )
+    if use_segments:
         n_seg = N // sort_segments
+        seg_cells = num_slots // sort_segments
+        oob = (lin >= num_slots) | (lin < 0)
+        seg_id = jnp.arange(N, dtype=jnp.int32) // n_seg
+        lin = jnp.where(oob, (seg_id + 1) * seg_cells - 1, lin)
+        vals = jnp.where(oob[:, None], jnp.zeros_like(vals), vals)
+    else:
+        lin = jnp.where(lin >= num_slots, sentinel, lin)
+    cols = tuple(vals[:, i] for i in range(C))
+    if use_segments:
         parts = []
         for b in range(sort_segments):
             sl = slice(b * n_seg, (b + 1) * n_seg)

@@ -146,6 +146,86 @@ def test_kernel_all_rows_dropped():
     np.testing.assert_allclose(got, np.zeros((S, C), np.float32))
 
 
+def test_schedule_tail_steps_target_initialized_tile():
+    """Real-TPU flush invariant (ADVICE r4, high): Pallas copies the
+    output VMEM window to HBM when the out index changes / at grid end
+    and never loads output windows from HBM, so every tile the schedule
+    VISITS must be written (pf=1 init or accumulation) before its
+    copy-out. Tail padding steps (p >= total) must therefore target the
+    tile of the last REAL step — never a trailing empty tile. Checked
+    structurally here because the interpret emulator reads output
+    blocks back from the zeroed aliased buffer and cannot reproduce the
+    stale-window flush; the hardware behavior is exercised by
+    scripts/tpu_kernel_checks.py on the real chip."""
+    from soccdpt_tpu.ops.sorted_segment_sum import _schedule
+
+    K, Bc = 64, 64
+
+    def check(lin_sorted, O):
+        R = len(lin_sorted) // K
+        P = R + O
+        pr, po, pf, live = (
+            np.asarray(a)
+            for a in _schedule(jnp.asarray(lin_sorted), R, K, O, Bc, P)
+        )
+        visited_first = {}
+        for p in range(P):
+            if po[p] not in visited_first:
+                visited_first[po[p]] = (pf[p], live[p])
+        for o, (first_pf, first_live) in visited_first.items():
+            # first visit of any visited tile must write the window
+            assert first_pf == 1 or first_live == 1, (o, first_pf, first_live)
+        # consecutive-visit runs: each tile appears as one contiguous run
+        runs = [po[0]]
+        for p in range(1, P):
+            if po[p] != runs[-1]:
+                runs.append(po[p])
+        assert len(runs) == len(set(runs)), runs
+        return pr, po, pf, live
+
+    # everything in tile 0, 7 trailing empty tiles: tails must stay on 0
+    lin = np.full((4 * K,), 3, np.int32)
+    _, po, _, _ = check(lin, 8)
+    assert set(po.tolist()) == {0}
+
+    # last real tile is tile 2 of 8 — tails must target 2, not 7
+    lin = np.sort(
+        np.r_[np.full(3 * K, 5), np.full(K, 2 * Bc + 1)].astype(np.int32)
+    )
+    _, po, _, _ = check(lin, 8)
+    assert po[-1] == 2 and 7 not in po
+
+    # all rows dropped (sentinel >= O*Bc): tile 0 gets a forced init
+    lin = np.full((2 * K,), 8 * Bc, np.int32)
+    _, po, pf, live = check(lin, 8)
+    assert set(po.tolist()) == {0} and pf[0] == 1 and live.sum() == 0
+
+
+def test_segmented_sort_oob_keys_are_safe():
+    """ADVICE r4 (low): with sort_segments>1, keys >= num_slots in any
+    slice must not break the global-sortedness invariant — they are
+    routed per-slice to the slice's top key with zeroed payload."""
+    rng = np.random.default_rng(17)
+    B, n, cells = 4, 256, 48
+    lin_b = rng.integers(0, cells, size=(B, n)).astype(np.int32)
+    lin = (lin_b + np.arange(B)[:, None] * cells).reshape(-1)
+    # scatter OOB keys into the FIRST slices (the breaking case) and a
+    # couple of negatives
+    lin[5:40] = B * cells + rng.integers(0, 100, size=35)
+    lin[300:310] = B * cells
+    lin[700] = -3
+    vals = rng.uniform(size=(B * n, 3)).astype(np.float32)
+    got = np.asarray(
+        segment_sum_sorted_pallas(
+            jnp.asarray(lin), jnp.asarray(vals), B * cells,
+            sort_segments=B, block_k=64, block_c=16, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(
+        got, _oracle(lin, vals, B * cells), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_kernel_segmented_sort_matches_oracle():
     """sort_segments=B on batch-folded keys (slice b's keys all in
     [b*cells, (b+1)*cells)) must equal the flat-sort result and the
