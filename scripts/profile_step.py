@@ -70,7 +70,7 @@ def parse_and_print(logdir: str, iters: int, top: int, stage_of):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--what", choices=["occ", "train", "occ_train"], default="occ"
+        "--what", choices=["occ", "train", "occ_train", "serve"], default="occ"
     )
     ap.add_argument("--model_type", default="dpt_swin2_tiny_256")
     ap.add_argument("--batch", type=int, default=1)
@@ -90,6 +90,69 @@ def main():
     from soccdpt_tpu.utils.fake_init import structural_init
 
     _, w, h = MODEL_TYPES[args.model_type]
+
+    if args.what == "serve":
+        # The HEADLINE serving forward: full reference contract
+        # (camera-res heads + unprojection, compute_occ=False), weights
+        # baked as constants — exactly what cli/bench.py times at
+        # ~1.2 ms. Per-HLO attribution of that 1.2 ms (VERDICT r4 #3).
+        # Inputs VARY per dispatch: identical back-to-back dispatches of
+        # a pure-XLA jit are elided below jax through the tunnel
+        # (utils/timing.py docstring), which would divide per-op times
+        # by a wrong iteration count.
+        mcfg = ModelConfig(
+            model_type=args.model_type, version=3, compute_dtype="bfloat16"
+        )
+        model = build_model(mcfg)
+        rng = np.random.default_rng(0)
+        xs = [
+            jnp.asarray(
+                rng.standard_normal((args.batch, 3, h, w)), jnp.float32
+            )
+            for _ in range(args.iters)
+        ]
+        variables = structural_init(
+            model, xs[0], deterministic=True, return_raw=True
+        )
+
+        @jax.jit
+        def fn(inp):
+            return model.apply(
+                variables, inp, deterministic=True,
+                return_raw=False, compute_occ=False,
+            )
+
+        jax.block_until_ready(fn(xs[0]))
+        jax.block_until_ready(fn(xs[1]))
+        shutil.rmtree(args.logdir, ignore_errors=True)
+        with jax.profiler.trace(args.logdir):
+            outs = [fn(x) for x in xs]
+            jax.block_until_ready(outs)
+
+        def stage_of(name, op_type):
+            n = name.lower()
+            t = op_type.lower()
+            if "idle" in n:
+                return "idle"
+            if "backbone" in n:
+                return "backbone"
+            if "refinenet" in n or "_rn/" in n:
+                return "decoder"
+            if "seg_head" in n or "head/" in n or "/head" in n:
+                return "heads"
+            if "resize" in n or "bicubic" in n or "nearest" in n:
+                return "out_resize"
+            if "unproject" in n or "point" in n or "depth" in n:
+                return "geometry"
+            if (
+                "convert" in t or "copy" in t or "transpose" in t
+                or "reshape" in t or "bitcast" in t or "fusion" == t
+            ):
+                return "glue(cast/layout)"
+            return "other"
+
+        parse_and_print(args.logdir, args.iters, args.top, stage_of)
+        return
 
     if args.what == "occ":
         mcfg = ModelConfig(

@@ -118,13 +118,24 @@ def main() -> None:
         timed(1)  # compile n=1
         timed(n_iters)  # compile n=N
         t1 = min(timed(1) for _ in range(3))
-        tn = min(timed(n_iters) for _ in range(3))
-        return (tn - t1) / (n_iters - 1)
+        # Repeat-run spread: each tn repeat yields its own per-forward
+        # estimate; the min is the headline (least tunnel noise), the
+        # stddev makes ±few-Hz moves between rounds interpretable
+        # (VERDICT r4 #3: "823 vs 829 is uninterpretable without bars").
+        reps = 5
+        ests = [
+            (timed(n_iters) - t1) / (n_iters - 1) for _ in range(reps)
+        ]
+        best = min(ests)
+        std = float(np.std(ests, ddof=1))
+        return best, std
 
-    per_forward_full = measure(full=True)
-    per_forward_raw = measure(full=False)
+    per_forward_full, std_full = measure(full=True)
+    per_forward_raw, _ = measure(full=False)
 
     hz = batch / per_forward_full
+    # error propagation: d(hz) = hz^2/batch * d(t)
+    hz_std = hz * hz / batch * std_full
     baseline = 47.0
     print(
         json.dumps(
@@ -134,7 +145,9 @@ def main() -> None:
                 "unit": "frames/s",
                 "vs_baseline": round(hz / baseline, 2),
                 "batch": batch,
+                "hz_std": round(hz_std, 1),
                 "ms_per_forward": round(per_forward_full * 1e3, 3),
+                "ms_std": round(std_full * 1e3, 4),
                 "raw_net_hz": round(batch / per_forward_raw, 1),
                 "raw_net_ms": round(per_forward_raw * 1e3, 3),
                 "pallas": use_pallas,

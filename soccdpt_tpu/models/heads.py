@@ -23,11 +23,91 @@ def scaled_tanh(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * jnp.tanh(x) + 0.5
 
 
+def _shifted_upsample_stack(in_size: int, out_size: int):
+    """(3, out_size, in_size) f32: slice d is the align-corners-True
+    bilinear upsample matrix with rows shifted by d-1 (zero rows past
+    the boundary — SAME zero padding of the commuted conv)."""
+    import numpy as np
+
+    from ..ops.resize import _resize_matrix
+
+    u = _resize_matrix(in_size, out_size, "bilinear", True)
+    stack = np.zeros((3, out_size, in_size), np.float32)
+    for d in range(3):
+        s = d - 1
+        src_lo, src_hi = max(0, s), min(out_size, out_size + s)
+        stack[d, src_lo - s : src_hi - s] = u[src_lo:src_hi]
+    return stack
+
+
+class _UpConv(nn.Module):
+    """conv3x3(upsample2x(x)) evaluated EXACTLY as shifted-resize
+    matmuls at the coarse resolution.
+
+    The serving profile (PERF.md round 5) measured the naive order —
+    2x bilinear upsample then a 3x3 conv to 32 channels at 256^2 — at
+    ~185 us: the conv fills only 32 of the MXU's 128 output lanes (24%
+    of peak, a structural property of the arithmetic at fine grid) and
+    XLA adds a 67 us relayout around it. Since the upsample is already
+    a pair of resize MATMULS (ops/resize.py), the conv commutes through
+    it term-by-term: conv(U x)[i] = sum_d k_d (S^{d-1} U x)[i], so the
+    whole op is one (Cin -> 9*Cout) channel matmul at the COARSE grid
+    followed by two (3*size -> 2*size) contractions with row-shifted
+    upsample matrices — every term a full-lane MXU matmul, no fine-grid
+    32-channel conv, no relayout. Same floats up to summation order
+    (oracle-tested vs the naive path and the reference's torch head).
+
+    Param tree is identical to ``nn.Conv(features, (3, 3))`` — kernel
+    (3, 3, Cin, Cout) + bias — so checkpoints/importers are unchanged.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        if not self.fused:
+            y = upsample2x_hw(x, "bilinear", align_corners=True)
+            y = jax.lax.conv_general_dilated(
+                y.astype(self.dtype),
+                kernel.astype(self.dtype),
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
+        B, h, w, _ = x.shape
+        k = kernel.astype(self.dtype)
+        # (B,h,w,Cin) @ (Cin, 3*3*Cout): one channel matmul, coarse grid
+        y = x.astype(self.dtype) @ k.transpose(2, 0, 1, 3).reshape(
+            cin, 9 * self.features
+        )
+        y = y.reshape(B, h, w, 3, 3, self.features)
+        mw = jnp.asarray(_shifted_upsample_stack(w, 2 * w), self.dtype)
+        mh = jnp.asarray(_shifted_upsample_stack(h, 2 * h), self.dtype)
+        # contract (dw, w) then (dh, h): shifted upsample columns
+        z = jnp.einsum("bhwuvf,vWw->bhWuf", y, mw)
+        out = jnp.einsum("bhWuf,uHh->bHWf", z, mh)
+        return out + bias.astype(self.dtype)
+
+
 class DepthHead(nn.Module):
     head_features_1: int = 256
     head_features_2: int = 32
     non_negative: bool = True
     dtype: Dtype = jnp.float32
+    fused_upconv: bool = True  # exact rewrite; see _UpConv
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -39,9 +119,11 @@ class DepthHead(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        x = upsample2x_hw(x, "bilinear", align_corners=True)
-        x = nn.Conv(
-            self.head_features_2, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        x = _UpConv(
+            self.head_features_2,
+            dtype=self.dtype,
+            fused=self.fused_upconv,
+            name="conv2",
         )(x)
         x = nn.relu(x)
         x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv3")(x)

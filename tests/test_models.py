@@ -405,3 +405,37 @@ def test_occupancy_head_folded_matches_conv3d():
     np.testing.assert_allclose(
         np.asarray(got_folded), np.asarray(got), atol=2e-6, rtol=1e-5
     )
+
+
+def test_depth_head_fused_upconv_matches_naive():
+    """The shifted-resize matmul form of conv2(upsample2x(x)) must equal
+    the naive order under identical params — values AND gradients
+    (_UpConv docstring; serving profile round 5). Odd sizes included."""
+    from soccdpt_tpu.models.heads import _UpConv
+
+    rng = np.random.default_rng(11)
+    for h, w, cin, cout in [(16, 16, 8, 32), (9, 13, 16, 8)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+        fused = _UpConv(cout, fused=True)
+        naive = _UpConv(cout, fused=False)
+        variables = naive.init(jax.random.PRNGKey(0), x)
+        want = naive.apply(variables, x)
+        got = fused.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5,
+            err_msg=f"{h}x{w}",
+        )
+        wgt = jnp.asarray(rng.standard_normal(want.shape), jnp.float32)
+        g_naive = jax.grad(
+            lambda p: (naive.apply({"params": p}, x) * wgt).sum()
+        )(variables["params"])
+        g_fused = jax.grad(
+            lambda p: (fused.apply({"params": p}, x) * wgt).sum()
+        )(variables["params"])
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_naive),
+            jax.tree_util.tree_leaves(g_fused),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4
+            )
