@@ -176,11 +176,17 @@ class TransformerBlock(nn.Module):
             # Fused flash attention: the (H, T, T) score matrix and the
             # rel-pos bias stay in VMEM instead of round-tripping HBM
             # every layer (ops/global_attention.py; PERF.md BEiT-512).
+            import os
+
             from ...ops.global_attention import flash_mha
 
             out = flash_mha(
                 q, k, v, bias, scale=hd**-0.5,
                 interpret=jax.default_backend() != "tpu",
+                # Pallas recompute backward by default (PERF.md round 5);
+                # SOCCDPT_FLASH_BWD=xla selects the XLA-recompute VJP
+                # (the comparison baseline).
+                backward=os.environ.get("SOCCDPT_FLASH_BWD", "pallas"),
             ).astype(self.dtype)
         else:
             attn = jnp.einsum(

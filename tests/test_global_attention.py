@@ -52,15 +52,19 @@ def test_flash_bf16():
     )
 
 
-def test_flash_gradients_match_xla():
-    """The custom VJP (XLA recompute) must produce the same cotangents
-    as differentiating the XLA path directly — incl. the bias (BEiT's
-    rel-pos table trains)."""
+@pytest.mark.parametrize("backward", ["xla", "pallas"])
+def test_flash_gradients_match_xla(backward):
+    """Both custom-VJP strategies (XLA recompute and the Pallas
+    backward kernel) must produce the same cotangents as differentiating
+    the XLA path directly — incl. the bias (BEiT's rel-pos table
+    trains)."""
     q, k, v, b = _mk(1, 2, 65, 16, True)
     scale = 16**-0.5
 
     def loss_flash(q, k, v, b):
-        return flash_mha(q, k, v, b, scale=scale, interpret=True).sum()
+        return flash_mha(
+            q, k, v, b, scale=scale, interpret=True, backward=backward
+        ).sum()
 
     def loss_xla(q, k, v, b):
         return xla_reference(q, k, v, b, scale).sum()
@@ -70,6 +74,46 @@ def test_flash_gradients_match_xla():
     for gf, gx in zip(g_flash, g_xla):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gx), atol=2e-5, rtol=2e-5
+        )
+
+
+@pytest.mark.parametrize(
+    "B,H,T,d,bias",
+    [
+        (1, 2, 128, 32, True),    # aligned, single query block
+        (1, 2, 128, 32, False),   # no bias (plain ViT)
+        (2, 2, 65, 16, True),     # padding + batch>1 (dbias sums over b)
+        (1, 3, 257, 64, True),    # multi-block queries: dk/dv accumulate
+        (3, 2, 260, 32, False),   # multi-block + batch, no bias
+    ],
+)
+def test_flash_pallas_backward_matches_xla_backward(B, H, T, d, bias):
+    """The Pallas dq/dk/dv(/dbias) kernel vs the XLA-recompute VJP on a
+    non-trivial cotangent (weighted sum, so g varies per element)."""
+    q, k, v, b = _mk(B, H, T, d, bias, seed=3)
+    scale = d**-0.5
+    w = jnp.asarray(
+        np.random.default_rng(5).standard_normal((B, H, T, d)), jnp.float32
+    )
+
+    def loss(backward):
+        def fn(*args):
+            return (
+                flash_mha(
+                    *args, scale=scale, interpret=True, backward=backward
+                ) * w
+            ).sum()
+        return fn
+
+    argnums = (0, 1, 2, 3) if bias else (0, 1, 2)
+    args = (q, k, v, b) if bias else (q, k, v)
+    g_pal = jax.grad(loss("pallas"), argnums=argnums)(*args)
+    g_xla = jax.grad(loss("xla"), argnums=argnums)(*args)
+    names = ["dq", "dk", "dv", "dbias"]
+    for name, gp, gx in zip(names, g_pal, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), atol=3e-5, rtol=3e-5,
+            err_msg=f"{name} B={B} H={H} T={T} d={d} bias={bias}",
         )
 
 
