@@ -30,7 +30,9 @@ def param_sharding_rules(
     tp = mesh.shape.get(MODEL_AXIS, 1)
 
     def rule(leaf):
-        shape = np.shape(leaf)
+        # works on concrete arrays AND abstract ShapeDtypeStructs, so
+        # the flagship sharding summary can run via jax.eval_shape
+        shape = leaf.shape if hasattr(leaf, "shape") else np.shape(leaf)
         if tp > 1 and np.prod(shape, dtype=np.int64) >= min_size:
             # shard the largest dim divisible by tp
             order = sorted(

@@ -203,8 +203,7 @@ class Trainer:
         batch_stats = variables.get("batch_stats", {})
         # Tensor-parallel placement is part of the product path (not a
         # dryrun-only hand-wire): params go onto the mesh per the tp
-        # rules BEFORE the optimizer init, so the Adam moments inherit
-        # the same shardings (zeros_like under jit follows its input).
+        # rules BEFORE the optimizer init.
         params = jax.tree_util.tree_map(
             jax.device_put, params, self.param_shardings(params)
         )
@@ -215,13 +214,20 @@ class Trainer:
         self.masks = patch_masks(
             self.trainable_mask, self.tcfg.patchwise_percentage
         )
-        repl = NamedSharding(self.mesh, P())
-        return TrainState(
-            step=jax.device_put(jnp.zeros((), jnp.int32), repl),
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
             params=params,
-            batch_stats=jax.device_put(batch_stats, repl),
+            batch_stats=batch_stats,
             opt_state=opt_state,
         )
+        # reshard_state places the Adam moments by param-path suffix.
+        # Relying on jit's output shardings does NOT work: zeros_like
+        # has no data dependence on its input, so SPMD propagation has
+        # nothing to carry the param sharding through and the moments
+        # come out replicated — found by
+        # tests/test_multichip_flagship.py at flagship scale (tp>1 lost
+        # 2/3 of the optimizer-memory saving, silently).
+        return self.reshard_state(state)
 
     # -- train step ----------------------------------------------------
 
