@@ -93,14 +93,45 @@ def main(argv=None):
         "applies to both the GT voxelizer and the model's grid/head. "
         "GX/GY and GZ must be divisible by 4 (two 2x pools in the head)",
     )
+    parser.add_argument(
+        "--iou_every",
+        type=int,
+        default=0,
+        help="evaluate val occupancy IoU every N steps and log the "
+        "trajectory (0 = final eval only). The reference never reports "
+        "this number — its iou_3D is hardcoded 0.0 "
+        "(utils/__init__.py:504)",
+    )
+    parser.add_argument(
+        "--iou_samples", type=int, default=4,
+        help="val samples per trajectory IoU point",
+    )
+    parser.add_argument(
+        "--bench_jsonl",
+        default=None,
+        help="append {step, loss, val_iou} trajectory rows to this JSONL "
+        "(e.g. TRAIN_BENCH.jsonl)",
+    )
     args = parser.parse_args(argv)
+
+    def grid_override(occ, new_grid):
+        """Change grid RESOLUTION, not the covered volume:
+        occupancy_shape = grid/scale, so scale shrinks with the grid —
+        a bare grid_size override would shrink the physical volume
+        8-fold at 32^3 and every GT point would land out of bounds
+        (all-empty grids, exactly the silent failure the reference's
+        hardcoded constants invite — SOccDPT.py:145-150)."""
+        factors = [n / o for n, o in zip(new_grid, occ.grid_size)]
+        return dataclasses.replace(
+            occ,
+            grid_size=tuple(new_grid),
+            scale=tuple(s * f for s, f in zip(occ.scale, factors)),
+        )
 
     transform, _, _ = load_transforms(args.model_type)
     ds_kwargs = {}
     if args.grid:
-        ds_kwargs["occ"] = dataclasses.replace(
-            GT_OCCUPANCY, grid_size=tuple(args.grid)
-        )
+        ds_kwargs["occ"] = grid_override(GT_OCCUPANCY, args.grid)
     dataset = get_bdd_dataset(
         BDDOccupancy, transform, args.base_path, dataset_kwargs=ds_kwargs
     )
@@ -121,10 +152,7 @@ def main(argv=None):
     )
     if args.grid:
         mcfg = dataclasses.replace(
-            mcfg,
-            occupancy=dataclasses.replace(
-                mcfg.occupancy, grid_size=tuple(args.grid)
-            ),
+            mcfg, occupancy=grid_override(mcfg.occupancy, args.grid)
         )
     model = build_model(mcfg)
 
@@ -271,6 +299,48 @@ def main(argv=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_stats, loss
 
+    @jax.jit
+    def forward_occ(params, batch_stats, image):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            image,
+            deterministic=True,
+            compute_occ=True,
+        )[3]
+
+    def val_iou(params, batch_stats, limit=None):
+        ious = []
+        for n, batch in enumerate(iterate_batches(val_set, 1, shuffle=False)):
+            if limit is not None and n >= limit:
+                break
+            pred = forward_occ(params, batch_stats, jnp.asarray(batch["image"]))
+            ious.append(
+                occupancy_iou(batch["occupancy_grid"], np.asarray(pred))
+            )
+        return float(np.mean(ious)) if ious else 0.0
+
+    def bench_row(step, loss, iou):
+        if not args.bench_jsonl:
+            return
+        import json
+
+        with open(args.bench_jsonl, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "tag": "occ_iou_train",
+                        "model_type": args.model_type,
+                        "grid": list(
+                            args.grid or mcfg.occupancy.grid_size
+                        ),
+                        "step": step,
+                        "loss": None if loss is None else round(loss, 5),
+                        "val_iou": round(iou, 5),
+                    }
+                )
+                + "\n"
+            )
+
     writer = MetricWriter(log_dir="logs", run_id="occupancy")
     step = 0
     for epoch in range(1, args.epochs + 1):
@@ -283,8 +353,14 @@ def main(argv=None):
                 jnp.asarray(batch["occupancy_grid"]),
                 jnp.asarray(batch["mask_occ"].astype(np.float32)),
             )
-            writer.log({"loss": float(loss), "epoch": epoch}, step)
+            metrics = {"loss": float(loss), "epoch": epoch}
             step += 1
+            if args.iou_every and step % args.iou_every == 0:
+                iou = val_iou(params, batch_stats, limit=args.iou_samples)
+                metrics["val_iou"] = iou
+                print(f"step {step}: loss {float(loss):.4f} val_iou {iou:.4f}")
+                bench_row(step, float(loss), iou)
+            writer.log(metrics, step - 1)
             if args.max_steps and step >= args.max_steps:
                 break
         run_dir = checkpoint_dir(args.checkpoint_dir, "SOccDPT_Occupancy", "run")
@@ -296,21 +372,11 @@ def main(argv=None):
             break
 
     # final eval: occupancy IoU (real, not the reference's 0.0 TODO)
-    @jax.jit
-    def forward_occ(image):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            image,
-            deterministic=True,
-            compute_occ=True,
-        )[3]
-
-    ious = []
-    for batch in iterate_batches(val_set, 1, shuffle=False):
-        pred = forward_occ(jnp.asarray(batch["image"]))
-        ious.append(occupancy_iou(batch["occupancy_grid"], np.asarray(pred)))
-    print(f"val iou_3D: {float(np.mean(ious)) if ious else 0.0:.4f}")
+    final_iou = val_iou(params, batch_stats)
+    print(f"val iou_3D: {final_iou:.4f}")
+    bench_row(step, None, final_iou)
     writer.close()
+    return final_iou
 
 
 if __name__ == "__main__":
