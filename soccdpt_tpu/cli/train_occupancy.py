@@ -334,8 +334,8 @@ def main(argv=None):
                             args.grid or mcfg.occupancy.grid_size
                         ),
                         "step": step,
-                        "loss": None if loss is None else round(loss, 5),
-                        "val_iou": round(iou, 5),
+                        "loss": None if loss is None else round(loss, 6),
+                        "val_iou": round(iou, 6),
                     }
                 )
                 + "\n"
