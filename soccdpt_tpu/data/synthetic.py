@@ -118,3 +118,107 @@ def make_idd_fixture(
                 )
                 cv2.imwrite(os.path.join(depth, stem + "_leftImg8bit.png"), disp)
     return base_path
+
+
+def make_selfconsistent_bdd_fixture(
+    base_path: str,
+    model_type: str = "dpt_swin2_tiny_256",
+    version: int = 3,
+    frames_per_seq: int = 8,
+    width: int = 1024,
+    height: int = 768,
+    seed: int = 0,
+) -> str:
+    """BDD fixture whose GT disparity is the frozen base model's OWN
+    predicted inverse depth (round 5).
+
+    On the procedural fixtures above, occupancy-head training is
+    signal-free: the GT grids are voxelized from disparity that carries
+    no mutual information with the random-init base model's features,
+    so val IoU sits at the predict-all-positive floor no matter how the
+    head trains (TRAIN_BENCH.jsonl, tag occ_iou_train). This fixture
+    manufactures the signal instead of pretending it exists: it runs
+    the SAME deterministic frozen base the occupancy trainer will use
+    (``model.init(PRNGKey(0))``, cli/train_occupancy.py) and writes its
+    predicted inverse depth back as the fixture's depth_img PNGs, so
+    the GT grid becomes a deterministic, spatially local transform of
+    the head's input grid. Occupancy training on this fixture MUST move
+    IoU above the predict-all baseline if the stack (GT pipeline ->
+    voxelizer -> 3D head -> weighted BCE -> IoU) learns — measured
+    3.0x above it on the flagship (PERF.md round 5). Disparity is
+    written uint16 when the fixture's focal length (0.9 * width) needs
+    values > 255 to keep depth inside the GT_OCCUPANCY volume.
+    Reference counterpart: none (the reference's iou_3D is hardcoded
+    0.0, utils/__init__.py:504).
+    """
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import ModelConfig
+    from ..models.soccdpt import build_model
+    from .bdd import BDDSequence
+    from .transforms import load_transforms
+
+    sequences = ("1000000000001", "1000000000002")
+    calib = make_bdd_fixture(
+        base_path,
+        sequences=sequences,
+        frames_per_seq=frames_per_seq,
+        width=width,
+        height=height,
+        seed=seed,
+    )
+
+    seq0 = BDDSequence(os.path.join(base_path, sequences[0]), calib)
+    camera = seq0.camera
+    mcfg = ModelConfig(
+        model_type=model_type,
+        version=version,
+        compute_occ=True,
+        occupancy_head=True,
+        compute_dtype="bfloat16",
+        camera=camera,
+    )
+    model = build_model(mcfg)
+    transform, _, _ = load_transforms(model_type)
+    target_size = (camera.width, camera.height)
+
+    def net_input(rgb_frame):
+        rgb = cv2.resize(rgb_frame, target_size)
+        return transform({"image": rgb.astype(np.float32)})["image"]
+
+    x0 = jnp.asarray(net_input(seq0[0]["rgb_frame"])[None])
+    variables = model.init(jax.random.PRNGKey(0), x0, compute_occ=True)
+
+    @jax.jit
+    def predict_inv_depth(x):
+        out = model.apply(variables, x, deterministic=True, return_raw=True)
+        return out[0]
+
+    # Map predicted inverse depth onto the disparity range whose
+    # depth = baseline * f / disparity span matches the 128x96
+    # procedural fixture's ([0.0046, 0.144] — what GT_OCCUPANCY's
+    # constants keep inside the grid volume).
+    bf = 1.0e-2 * camera.fx
+    disp_lo, disp_hi = bf / 0.144, bf / 0.0046
+    for seq_name in sequences:
+        seq = BDDSequence(os.path.join(base_path, seq_name), calib)
+        for i in range(len(seq)):
+            frame = seq[i]
+            inv = np.asarray(
+                predict_inv_depth(jnp.asarray(net_input(frame["rgb_frame"])[None]))
+            )[0].astype(np.float32)
+            lo, hi = float(inv.min()), float(inv.max())
+            disp = (inv - lo) / max(hi - lo, 1e-9) * (disp_hi - disp_lo) + disp_lo
+            disp = cv2.resize(
+                disp, target_size, interpolation=cv2.INTER_LINEAR
+            )
+            path = os.path.join(
+                base_path, seq_name, "depth_img", f"{frame['timestamp']}.png"
+            )
+            if disp_hi > 255:
+                cv2.imwrite(path, np.clip(disp, 1, 65535).astype(np.uint16))
+            else:
+                cv2.imwrite(path, np.clip(disp, 1, 255).astype(np.uint8))
+    return calib

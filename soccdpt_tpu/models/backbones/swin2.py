@@ -23,6 +23,7 @@ windowed-attention kernel (ops/window_attention.py) enabled via
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple
 
@@ -412,6 +413,15 @@ class SwinV2Block(nn.Module):
             h = jnp.pad(h, ((0, 0), (0, Hp - Hr), (0, Wp - Wr), (0, 0)))
         if shift > 0:
             h = jnp.roll(h, shift=(-shift, -shift), axis=(1, 2))
+        if (
+            os.environ.get("SOCCDPT_ISOLATE_RETILE", "0") == "1"
+            and (Hp > ws or Wp > ws)
+        ):
+            # Experiment (PERF.md round 5, "remaining serving lever"):
+            # keep the window re-tiling transpose out of the producing
+            # mlp_fc2 matmul's fusion — the fused form runs the matmul
+            # at 6% of peak, bandwidth-bound on the re-tiling.
+            h = jax.lax.optimization_barrier(h)
         win = window_partition(h, ws, ws)
         mask_np = shifted_window_attn_mask(Hr, Wr, ws, ws, shift, shift, Hp, Wp)
         mask = None if mask_np is None else jnp.asarray(mask_np)

@@ -52,3 +52,68 @@ def test_occ_training_iou_beats_all_empty_baseline(tmp_path, monkeypatch):
     # bench rows are rounded to 6 decimals
     assert rows[-1]["val_iou"] == pytest.approx(final_iou, abs=1e-5)
     assert os.path.isdir(tmp_path / "ckpts")
+
+
+def test_occ_training_iou_beats_predict_all_on_selfconsistent_fixture(
+    tmp_path, monkeypatch
+):
+    """The stronger claim (round 5). The procedural fixture above only
+    proves IoU > 0, which a predict-ALL collapse also satisfies — and on
+    signal-free GT the flagship trajectory is exactly that floor
+    (TRAIN_BENCH.jsonl tag occ_iou_train, three runs, two grids, flat).
+    Here the GT disparity IS the frozen base's own predicted inverse
+    depth (make_selfconsistent_bdd_fixture), so the head input and the
+    GT grid share signal, and training must beat the predict-all
+    baseline |GT| / |grid| — the flagship measured 3.0x above it on the
+    real TPU (tag occ_iou_train_selfconsistent)."""
+    import numpy as np
+
+    from soccdpt_tpu.cli.train_occupancy import main
+
+    base = tmp_path / "bdd_sc"
+    synthetic.make_selfconsistent_bdd_fixture(
+        str(base), model_type="dpt_swin2_test_64",
+        frames_per_seq=4, width=512, height=384,
+    )
+    monkeypatch.chdir(tmp_path)
+    final_iou = main(
+        [
+            "-t", "dpt_swin2_test_64",
+            "-b", str(base),
+            "--epochs", "200",
+            "--max_steps", "300",
+            "--learning_rate", "1e-2",
+            "--pos_weight", "auto",
+            "--grid", "32", "32", "8",
+            "--iou_samples", "2",
+            "--val_percent", "0.3",
+            "-c", str(tmp_path / "ckpts_sc"),
+        ]
+    )
+    # predict-all baseline from the GT grids themselves
+    import dataclasses
+
+    from soccdpt_tpu.core.config import GT_OCCUPANCY
+    from soccdpt_tpu.data.bdd import BDDOccupancy, get_bdd_dataset
+    from soccdpt_tpu.data.transforms import load_transforms
+
+    factors = [g2 / g1 for g1, g2 in zip(GT_OCCUPANCY.grid_size, (32, 32, 8))]
+    occ = dataclasses.replace(
+        GT_OCCUPANCY,
+        grid_size=(32, 32, 8),
+        scale=tuple(s * f for s, f in zip(GT_OCCUPANCY.scale, factors)),
+    )
+    t, _, _ = load_transforms("dpt_swin2_test_64")
+    ds = get_bdd_dataset(
+        BDDOccupancy, t, str(base), dataset_kwargs={"occ": occ}
+    )
+    cam = ds.datasets[0].seq.camera
+    for d in ds.datasets:
+        d.target_size = (cam.width, cam.height)
+    g = np.asarray(ds[0]["occupancy_grid"])
+    predict_all = float((g > 0.5).mean())
+    assert predict_all > 1e-4, "fixture GT unexpectedly sparse"
+    assert final_iou > 1.5 * predict_all, (
+        f"final IoU {final_iou} does not beat the predict-all baseline "
+        f"{predict_all} — occupancy training is not discriminating cells"
+    )
